@@ -1,0 +1,297 @@
+"""U-Net building blocks (Flax linen, channels-last NDHWC).
+
+TPU-first re-design of the reference block zoo
+(``/root/reference/imagen_pytorch3D.py:361-720``):
+  Block           — GroupNorm → (time scale-shift) → Mish → Conv3x3x3
+  ResnetBlock     — two Blocks + time MLP + squeeze-excite + residual 1x1
+  SE3D            — squeeze-and-excitation channel attention
+  Downsample      — pixel-unshuffle "SP-conv" (arXiv 2208.03641)
+  PixelShuffleUpsample — 1x1 conv (ICNR init) + Mish + 3D pixel shuffle
+  DeconvUpsample  — transposed-conv alternative
+  CrossEmbedLayer — multi-kernel stem
+  LearnedSinusoidalPosEmb — @crowsonkb learned Fourier time embedding
+
+Everything is shaped so XLA keeps convs on the MXU: channels-last layout,
+static shapes, and elementwise chains (norm/scale-shift/Mish) that XLA fuses
+into the convolution. ``boundary`` mode swaps SAME convs for halo-gather +
+VALID convs (see ops.volume.boundary_halo).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from diffusioniqt_tpu.ops.volume import (
+    boundary_halo,
+    pixel_shuffle_3d,
+    pixel_unshuffle_3d,
+)
+from diffusioniqt_tpu.utils.misc import mish
+
+Dtype = Any
+
+
+class LearnedSinusoidalPosEmb(nn.Module):
+    """Learned Fourier features over scalar conditioning (reference
+    imagen_pytorch3D.py:518-533). Output dim = ``dim`` + 1."""
+
+    dim: int = 16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert self.dim % 2 == 0
+        half_dim = self.dim // 2
+        weights = self.param(
+            "weights", nn.initializers.normal(stddev=1.0), (half_dim,), jnp.float32
+        )
+        x = x[:, None].astype(jnp.float32)
+        freqs = x * weights[None, :] * 2 * math.pi
+        return jnp.concatenate([x, jnp.sin(freqs), jnp.cos(freqs)], axis=-1)
+
+
+class ChanLayerNorm(nn.Module):
+    """LayerNorm over the channel axis only, learned scale, no bias
+    (reference ``LayerNorm``/``ChanLayerNorm``, imagen_pytorch3D.py:361-382)."""
+
+    stable: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        feats = x.shape[-1]
+        g = self.param("g", nn.initializers.ones, (feats,), jnp.float32)
+        orig_dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        if self.stable:
+            x32 = x32 / jax.lax.stop_gradient(
+                jnp.max(x32, axis=-1, keepdims=True)
+            )
+        eps = 1e-5
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        out = (x32 - mean) * jax.lax.rsqrt(var + eps) * g
+        return out.astype(self.dtype or orig_dtype)
+
+
+class SE3D(nn.Module):
+    """Squeeze-and-excitation over (X,Y,Z) (reference imagen_pytorch3D.py:617-632)."""
+
+    reduction: int = 16
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        y = jnp.mean(x, axis=(1, 2, 3))  # (B, C)
+        y = nn.Dense(max(c // self.reduction, 1), use_bias=False, dtype=self.dtype)(y)
+        y = jax.nn.relu(y)
+        y = nn.Dense(c, use_bias=False, dtype=self.dtype)(y)
+        y = jax.nn.sigmoid(y)
+        return x * y[:, None, None, None, :]
+
+
+class Block(nn.Module):
+    """GroupNorm → optional (scale+1, shift) → Mish → Conv3 (reference
+    imagen_pytorch3D.py:535-566). ``boundary`` uses halo + VALID conv."""
+
+    dim_out: int
+    groups: int = 8
+    norm: bool = True
+    boundary: bool = False
+    factor: int = 3
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, scale_shift=None) -> jnp.ndarray:
+        if self.norm:
+            x = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype)(x)
+        if scale_shift is not None:
+            scale, shift = scale_shift
+            x = x * (scale + 1) + shift
+        x = mish(x)
+        if self.boundary:
+            x = boundary_halo(x, factor=self.factor, halo=1)
+            padding = "VALID"
+        else:
+            padding = "SAME"
+        return nn.Conv(
+            self.dim_out, kernel_size=(3, 3, 3), padding=padding, dtype=self.dtype
+        )(x)
+
+
+class ResnetBlock(nn.Module):
+    """Two Blocks + time scale-shift on the second + SE + residual
+    (reference imagen_pytorch3D.py:568-614). Note the reference applies the
+    time embedding to ``block2`` only, and ``block1`` is called *without*
+    scale-shift — reproduced here."""
+
+    dim_out: int
+    time_cond_dim: Optional[int] = None
+    groups: int = 8
+    use_se: bool = False
+    boundary: bool = False
+    factor: int = 3
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, time_emb=None) -> jnp.ndarray:
+        scale_shift = None
+        if self.time_cond_dim is not None and time_emb is not None:
+            t = mish(time_emb)
+            t = nn.Dense(self.dim_out * 2, dtype=self.dtype)(t)
+            t = t[:, None, None, None, :]
+            scale_shift = jnp.split(t, 2, axis=-1)
+
+        h = Block(
+            self.dim_out, groups=self.groups, boundary=self.boundary,
+            factor=self.factor, dtype=self.dtype,
+        )(x)
+        h = Block(
+            self.dim_out, groups=self.groups, boundary=self.boundary,
+            factor=self.factor, dtype=self.dtype,
+        )(h, scale_shift=scale_shift)
+
+        if self.use_se:
+            h = SE3D(reduction=16, dtype=self.dtype)(h)
+
+        if x.shape[-1] != self.dim_out:
+            x = nn.Conv(self.dim_out, kernel_size=(1, 1, 1), dtype=self.dtype)(x)
+        return h + x
+
+
+def _icnr_init(scale: int = 2, base_init=None):
+    """ICNR initializer for the pre-pixel-shuffle 1x1 conv: every r^3
+    sub-position of an output channel starts identical, killing checkerboard
+    artifacts (capability of reference ``PixelShuffleUpsample.init_conv_``,
+    imagen_pytorch3D.py:477-484; here with the full r^3 repeat)."""
+    base_init = base_init or nn.initializers.kaiming_uniform()
+    r3 = scale ** 3
+
+    def init(key, shape, dtype=jnp.float32):
+        # shape = (1, 1, 1, in, out) with out = c_out * r^3
+        out = shape[-1]
+        base_shape = shape[:-1] + (out // r3,)
+        base = base_init(key, base_shape, dtype)
+        return jnp.repeat(base, r3, axis=-1)
+
+    return init
+
+
+class PixelShuffleUpsample(nn.Module):
+    """1x1 conv (ICNR) → Mish → pixel-shuffle x2 (reference
+    imagen_pytorch3D.py:459-487)."""
+
+    dim_out: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(
+            self.dim_out * 8,
+            kernel_size=(1, 1, 1),
+            kernel_init=_icnr_init(scale=2),
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+        )(x)
+        x = mish(x)
+        return pixel_shuffle_3d(x, scale=2)
+
+
+class DeconvUpsample(nn.Module):
+    """Transposed-conv 2x upsample + Mish (reference ``Deconv3D``,
+    imagen_pytorch3D.py:441-457)."""
+
+    dim_out: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.ConvTranspose(
+            self.dim_out, kernel_size=(3, 3, 3), strides=(2, 2, 2),
+            padding="SAME", dtype=self.dtype,
+        )(x)
+        return mish(x)
+
+
+class Downsample(nn.Module):
+    """Pixel-unshuffle + 1x1 conv, the 'SP-conv' downsample (reference
+    imagen_pytorch3D.py:489-496)."""
+
+    dim_out: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = pixel_unshuffle_3d(x, scale=2)
+        return nn.Conv(self.dim_out, kernel_size=(1, 1, 1), dtype=self.dtype)(x)
+
+
+class StridedDownsample(nn.Module):
+    """Strided 3x3x3 conv downsample (reference ``Downsample2``,
+    imagen_pytorch3D.py:498-504)."""
+
+    dim_out: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(
+            self.dim_out, kernel_size=(3, 3, 3), strides=(2, 2, 2),
+            padding="SAME", dtype=self.dtype,
+        )(x)
+
+
+class CrossEmbedLayer(nn.Module):
+    """Multi-kernel conv stem; channel split halves per extra scale
+    (reference imagen_pytorch3D.py:661-686)."""
+
+    dim_out: int
+    kernel_sizes: Tuple[int, ...] = (3, 7, 15)
+    stride: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel_sizes = sorted(self.kernel_sizes)
+        num_scales = len(kernel_sizes)
+        dim_scales = [int(self.dim_out / (2 ** i)) for i in range(1, num_scales)]
+        dim_scales = [*dim_scales, self.dim_out - sum(dim_scales)]
+        fmaps = []
+        for kernel, dim_scale in zip(kernel_sizes, dim_scales):
+            pad = (kernel - self.stride) // 2
+            fmaps.append(
+                nn.Conv(
+                    dim_scale,
+                    kernel_size=(kernel,) * 3,
+                    strides=(self.stride,) * 3,
+                    padding=[(pad, pad)] * 3,
+                    dtype=self.dtype,
+                )(x)
+            )
+        return jnp.concatenate(fmaps, axis=-1)
+
+
+class GlobalContext(nn.Module):
+    """Attention-style squeeze-excitation (reference imagen_pytorch3D.py:634-659;
+    unused alternative kept for capability parity)."""
+
+    dim_out: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b = x.shape[0]
+        context = nn.Conv(1, kernel_size=(1, 1, 1), dtype=self.dtype)(x)
+        xf = x.reshape(b, -1, x.shape[-1])  # (b, n, c)
+        cf = jax.nn.softmax(context.reshape(b, -1), axis=-1)  # (b, n)
+        pooled = jnp.einsum("bn,bnc->bc", cf, xf)[:, None, None, None, :]
+        hidden = max(3, self.dim_out // 2)
+        out = nn.Conv(hidden, kernel_size=(1, 1, 1), dtype=self.dtype)(pooled)
+        out = mish(out)
+        out = nn.Conv(self.dim_out, kernel_size=(1, 1, 1), dtype=self.dtype)(out)
+        return jax.nn.sigmoid(out)

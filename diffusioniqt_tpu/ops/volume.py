@@ -1,0 +1,210 @@
+"""Volume / patch geometry ops (pure jnp, static shapes, XLA-friendly).
+
+TPU-native re-design of the reference's patch mechanism:
+  * ``convertVolume2subVolume`` / ``merge_sub_volumes``
+    (``/root/reference/utils_mine.py:25-67``) — implemented as plain
+    reshape+transpose (no unfold), so XLA lowers them to cheap layout ops.
+  * ``boundary_pad`` (``/root/reference/imagen_pytorch3D.py:37-46``) — the
+    halo exchange that lets *unpadded* convs see true neighbour voxels across
+    sub-volume seams. Implemented as a single static gather after a pad,
+    instead of merge→pad→unfold→permute.
+  * 3D pixel shuffle / unshuffle (reference ``PixelShuffle3D``/``Downsample``,
+    imagen_pytorch3D.py:416-439 / :489-496).
+
+Layout: channels-last ``(B, X, Y, Z, C)`` everywhere. The sub-volume batch
+ordering is canonical row-major over the (gx, gy, gz) grid: sub-volume
+``b = (gx * f + gy) * f + gz`` covers
+``volume[gx*s:(gx+1)*s, gy*s:(gy+1)*s, gz*s:(gz+1)*s]``. Split and merge are
+exact inverses (round-trip tested), which is the property the reference's
+unfold/permute pair provides.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# layout converters (for parity testing against the torch reference)
+# ---------------------------------------------------------------------------
+
+def from_torch_layout(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, C, X, Y, Z) -> (B, X, Y, Z, C)."""
+    return jnp.transpose(x, (0, 2, 3, 4, 1))
+
+
+def to_torch_layout(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, X, Y, Z, C) -> (B, C, X, Y, Z)."""
+    return jnp.transpose(x, (0, 4, 1, 2, 3))
+
+
+# ---------------------------------------------------------------------------
+# sub-volume split / merge
+# ---------------------------------------------------------------------------
+
+def volume_to_subvolumes(x: jnp.ndarray, factor: int = 3) -> jnp.ndarray:
+    """(B, f*s, f*s, f*s, C) -> (B*f^3, s, s, s, C).
+
+    Capability of reference ``convertVolume2subVolume`` (utils_mine.py:25-42),
+    as a reshape/transpose pair.
+    """
+    b, X, Y, Z, c = x.shape
+    f = factor
+    if X % f or Y % f or Z % f:
+        raise ValueError(f"volume edges {(X, Y, Z)} not divisible by factor {f}")
+    sx, sy, sz = X // f, Y // f, Z // f
+    x = x.reshape(b, f, sx, f, sy, f, sz, c)
+    x = jnp.transpose(x, (0, 1, 3, 5, 2, 4, 6, 7))  # (b, gx, gy, gz, sx, sy, sz, c)
+    return x.reshape(b * f * f * f, sx, sy, sz, c)
+
+
+def subvolumes_to_volume(x: jnp.ndarray, factor: int = 3) -> jnp.ndarray:
+    """(B*f^3, s, s, s, C) -> (B, f*s, f*s, f*s, C). Inverse of
+    :func:`volume_to_subvolumes` (reference ``merge_sub_volumes``,
+    utils_mine.py:44-67)."""
+    n, sx, sy, sz, c = x.shape
+    f = factor
+    if n % (f ** 3):
+        raise ValueError(f"batch {n} not divisible by factor^3 {f ** 3}")
+    b = n // (f ** 3)
+    x = x.reshape(b, f, f, f, sx, sy, sz, c)
+    x = jnp.transpose(x, (0, 1, 4, 2, 5, 3, 6, 7))
+    return x.reshape(b, f * sx, f * sy, f * sz, c)
+
+
+# aliases matching the reference's public names
+convert_volume_to_subvolume = volume_to_subvolumes
+merge_sub_volumes = subvolumes_to_volume
+
+
+# ---------------------------------------------------------------------------
+# boundary halo (the 'boundary' conv mode)
+# ---------------------------------------------------------------------------
+
+def _halo_index(f: int, s: int, halo: int) -> np.ndarray:
+    """Static gather index along one axis of the padded merged volume.
+
+    For each grid cell g in [0, f), take ``s + 2*halo`` samples starting at
+    ``g * s`` of the zero-padded axis (padded by ``halo`` on both sides).
+    """
+    base = np.arange(s + 2 * halo, dtype=np.int32)
+    return (np.arange(f, dtype=np.int32)[:, None] * s + base[None, :]).reshape(-1)
+
+
+def boundary_halo(x: jnp.ndarray, factor: int = 3, halo: int = 1) -> jnp.ndarray:
+    """(B*f^3, s, s, s, C) -> (B*f^3, s+2h, s+2h, s+2h, C).
+
+    Merges sub-volumes into the full volume, zero-pads by ``halo``, and
+    re-splits into *overlapping* blocks so that a following VALID conv sees
+    real neighbour voxels across sub-volume seams (reference ``boundary_pad``,
+    imagen_pytorch3D.py:37-46, used by ``Block`` at :551,:564).
+
+    One static gather per axis — XLA fuses this into the conv's input.
+    """
+    n, s = x.shape[0], x.shape[1]
+    f = factor
+    b = n // (f ** 3)
+    full = subvolumes_to_volume(x, factor=f)  # (b, f*s, f*s, f*s, c)
+    pad = [(0, 0), (halo, halo), (halo, halo), (halo, halo), (0, 0)]
+    full = jnp.pad(full, pad)
+    idx = _halo_index(f, s, halo)
+    full = full[:, idx][:, :, idx][:, :, :, idx]
+    e = s + 2 * halo
+    full = full.reshape(b, f, e, f, e, f, e, full.shape[-1])
+    full = jnp.transpose(full, (0, 1, 3, 5, 2, 4, 6, 7))
+    return full.reshape(n, e, e, e, full.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# 3D pixel shuffle / unshuffle
+# ---------------------------------------------------------------------------
+
+def pixel_shuffle_3d(x: jnp.ndarray, scale: int = 2) -> jnp.ndarray:
+    """(B, X, Y, Z, C*r^3) -> (B, X*r, Y*r, Z*r, C).
+
+    Channel index layout is ``c_out * r^3 + (rx * r + ry) * r + rz``, matching
+    the reference ``PixelShuffle3D`` view/permute (imagen_pytorch3D.py:427-439)
+    transposed to channels-last.
+    """
+    b, X, Y, Z, c = x.shape
+    r = scale
+    c_out = c // (r ** 3)
+    x = x.reshape(b, X, Y, Z, c_out, r, r, r)
+    x = jnp.transpose(x, (0, 1, 5, 2, 6, 3, 7, 4))  # (b, X, rx, Y, ry, Z, rz, c)
+    return x.reshape(b, X * r, Y * r, Z * r, c_out)
+
+
+def pixel_unshuffle_3d(x: jnp.ndarray, scale: int = 2) -> jnp.ndarray:
+    """(B, X*r, Y*r, Z*r, C) -> (B, X, Y, Z, C*r^3). SP-conv downsample input
+    (reference ``Downsample`` rearrange, imagen_pytorch3D.py:489-496).
+
+    Output channel layout is ``c * r^3 + (rx * r + ry) * r + rz`` — the exact
+    inverse of :func:`pixel_shuffle_3d`.
+    """
+    b, X, Y, Z, c = x.shape
+    r = scale
+    x = x.reshape(b, X // r, r, Y // r, r, Z // r, r, c)
+    x = jnp.transpose(x, (0, 1, 3, 5, 7, 2, 4, 6))  # (b, x, y, z, c, rx, ry, rz)
+    return x.reshape(b, X // r, Y // r, Z // r, c * r ** 3)
+
+
+# ---------------------------------------------------------------------------
+# resize
+# ---------------------------------------------------------------------------
+
+def resize_volume(
+    x: jnp.ndarray,
+    target_size: int,
+    method: str = "nearest",
+    clamp_range=None,
+) -> jnp.ndarray:
+    """Spatially resize a (B, X, Y, Z, C) volume to edge ``target_size``
+    (reference ``resize_image_to``, imagen_pytorch3D.py:165-181)."""
+    if x.shape[1] == target_size and x.shape[2] == target_size and x.shape[3] == target_size:
+        return x
+    out_shape = (x.shape[0], target_size, target_size, target_size, x.shape[4])
+    jax_method = {"nearest": "nearest", "trilinear": "trilinear", "linear": "trilinear"}[method]
+    out = jax.image.resize(x, out_shape, method=jax_method)
+    if clamp_range is not None:
+        out = jnp.clip(out, clamp_range[0], clamp_range[1])
+    return out
+
+
+def upsample_trilinear(x: jnp.ndarray, scale: int = 2, align_corners: bool = True) -> jnp.ndarray:
+    """Trilinear upsample by an integer scale (used by ViT3D / Patchify
+    reconstruction, reference imagen_pytorch3D.py:900, :954).
+
+    ``align_corners=True`` mimics torch's nn.Upsample(align_corners=True) via
+    explicit corner-aligned sample coordinates.
+    """
+    b, X, Y, Z, c = x.shape
+    oX, oY, oZ = X * scale, Y * scale, Z * scale
+    if not align_corners:
+        return jax.image.resize(x, (b, oX, oY, oZ, c), method="trilinear")
+
+    def axis_coords(in_size, out_size):
+        if out_size == 1 or in_size == 1:
+            return jnp.zeros((out_size,), jnp.float32)
+        return jnp.arange(out_size, dtype=jnp.float32) * (in_size - 1) / (out_size - 1)
+
+    cx = axis_coords(X, oX)
+    cy = axis_coords(Y, oY)
+    cz = axis_coords(Z, oZ)
+
+    def interp_axis(arr, coords, axis):
+        lo = jnp.floor(coords).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, arr.shape[axis] - 1)
+        w = (coords - lo.astype(jnp.float32)).astype(arr.dtype)
+        a = jnp.take(arr, lo, axis=axis)
+        bb = jnp.take(arr, hi, axis=axis)
+        shape = [1] * arr.ndim
+        shape[axis] = -1
+        w = w.reshape(shape)
+        return a * (1 - w) + bb * w
+
+    out = interp_axis(x, cx, 1)
+    out = interp_axis(out, cy, 2)
+    out = interp_axis(out, cz, 3)
+    return out
