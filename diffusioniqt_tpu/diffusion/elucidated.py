@@ -1,0 +1,501 @@
+"""Elucidated (Karras EDM) cascaded diffusion — ``ElucidatedImagen`` equivalent.
+
+TPU-native re-design of ``/root/reference/elucidated_imagen.py``:
+  * per-unet EDM hyperparameters (:96-106, :245-259) via core.edm.EDMParams
+  * preconditioned network forward, Table-1 c_skip/c_out/c_in/c_noise
+    (:314-358)
+  * rho-spaced sigma schedule (:365-379)
+  * stochastic Heun sampler with churn + 2nd-order correction (:381-532) —
+    compiled as a single ``lax.scan`` with a ``lax.cond`` for the correction
+  * training: log-normal sigma draw + EDM loss weight (:706-710, :821-882),
+    including the noised-lowres conditioning augmentation (:779-819)
+
+Same stateless-orchestrator design as diffusion.gaussian.Imagen.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from diffusioniqt_tpu.core.edm import EDMParams
+from diffusioniqt_tpu.core.schedules import (
+    GaussianDiffusionContinuousTimes,
+    right_pad_dims_to,
+)
+from diffusioniqt_tpu.diffusion.gaussian import (
+    identity,
+    normalize_neg_one_to_one,
+    unnormalize_zero_to_one,
+)
+from diffusioniqt_tpu.ops.volume import resize_volume
+from diffusioniqt_tpu.utils.misc import cast_tuple, default, exists
+
+
+class ElucidatedImagen:
+    """Cascaded EDM diffusion over one or more U-Nets."""
+
+    def __init__(
+        self,
+        unets,
+        *,
+        image_sizes: Sequence[int],
+        channels: int = 3,
+        cond_drop_prob: float = 0.1,
+        lowres_sample_noise_level: float = 0.2,
+        per_sample_random_aug_noise_level: bool = False,
+        auto_normalize_img: bool = True,
+        dynamic_thresholding: Union[bool, Sequence[bool]] = True,
+        dynamic_thresholding_percentile: float = 0.95,
+        only_train_unet_number: Optional[int] = None,
+        lowres_noise_schedule: str = "linear",
+        norm: str = "min-max",
+        min_bound: float = -1.0,
+        num_sample_steps: Union[int, Sequence[int]] = 32,
+        sigma_min: Union[float, Sequence[float]] = 0.002,
+        sigma_max: Union[float, Sequence[float]] = 80.0,
+        sigma_data: Union[float, Sequence[float]] = 0.5,
+        rho: Union[float, Sequence[float]] = 7.0,
+        P_mean: Union[float, Sequence[float]] = -1.2,
+        P_std: Union[float, Sequence[float]] = 1.2,
+        S_churn: Union[float, Sequence[float]] = 80.0,
+        S_tmin: Union[float, Sequence[float]] = 0.05,
+        S_tmax: Union[float, Sequence[float]] = 50.0,
+        S_noise: Union[float, Sequence[float]] = 1.003,
+    ):
+        unets = list(unets) if isinstance(unets, (list, tuple)) else [unets]
+        num_unets = len(unets)
+
+        self.channels = channels
+        self.norm = norm
+        self.min_bound = float(min_bound)
+        self.only_train_unet_number = only_train_unet_number
+        self.cond_drop_prob = cond_drop_prob
+        self.can_classifier_guidance = cond_drop_prob > 0.0
+
+        self.image_sizes = cast_tuple(tuple(image_sizes))
+        assert num_unets == len(self.image_sizes)
+
+        self.unets = []
+        for ind, one_unet in enumerate(unets):
+            is_first = ind == 0
+            one_unet = one_unet.cast_model_parameters(
+                lowres_cond=not is_first,
+                channels=self.channels,
+                channels_out=self.channels,
+            )
+            self.unets.append(one_unet)
+
+        self.lowres_noise_schedule = GaussianDiffusionContinuousTimes(
+            noise_schedule=lowres_noise_schedule
+        )
+        self.lowres_sample_noise_level = lowres_sample_noise_level
+        self.per_sample_random_aug_noise_level = per_sample_random_aug_noise_level
+
+        self.normalize_img = (
+            normalize_neg_one_to_one if auto_normalize_img else identity
+        )
+        self.unnormalize_img = (
+            unnormalize_zero_to_one if auto_normalize_img else identity
+        )
+        self.input_image_range = (0.0 if auto_normalize_img else -1.0, 1.0)
+
+        self.dynamic_thresholding = cast_tuple(dynamic_thresholding, num_unets)
+        self.dynamic_thresholding_percentile = dynamic_thresholding_percentile
+
+        hp_fields = (num_sample_steps, sigma_min, sigma_max, sigma_data, rho,
+                     P_mean, P_std, S_churn, S_tmin, S_tmax, S_noise)
+        hp_fields = [cast_tuple(f, num_unets) for f in hp_fields]
+        self.hparams = [
+            EDMParams(
+                num_sample_steps=ns, sigma_min=smin, sigma_max=smax,
+                sigma_data=sd, rho=r, P_mean=pm, P_std=ps, S_churn=sc,
+                S_tmin=st0, S_tmax=st1, S_noise=sn,
+            )
+            for ns, smin, smax, sd, r, pm, ps, sc, st0, st1, sn in zip(*hp_fields)
+        ]
+
+    # ------------------------------------------------------------------
+    @property
+    def num_unets(self) -> int:
+        return len(self.unets)
+
+    def init_params(self, key: jax.Array, batch_size: int = 1) -> List[Any]:
+        params = []
+        for ind, (unet, size) in enumerate(zip(self.unets, self.image_sizes)):
+            k = jax.random.fold_in(key, ind)
+            x = jnp.zeros((batch_size, size, size, size, self.channels), jnp.float32)
+            t = jnp.zeros((batch_size,), jnp.float32)
+            lowres = x if getattr(unet, "lowres_cond", False) else None
+            params.append(jax.jit(unet.init)(k, x, t, t, lowres_cond_img=lowres))
+        return params
+
+    # ------------------------------------------------------------------
+    def threshold_x_start(self, x_start, dynamic_threshold: bool = True):
+        """Reference :291-310, with the z-score min_bound extension used by
+        the IQT configs."""
+        if not dynamic_threshold:
+            if self.norm == "min-max":
+                return jnp.clip(x_start, -1.0, 1.0)
+            return jnp.clip(x_start, min=self.min_bound)
+        b = x_start.shape[0]
+        s = jnp.quantile(
+            jnp.abs(x_start.reshape(b, -1)),
+            self.dynamic_thresholding_percentile,
+            axis=-1,
+        )
+        s = jnp.clip(s, min=(1.0 if self.norm == "min-max" else self.min_bound))
+        s = right_pad_dims_to(x_start, s)
+        return jnp.clip(x_start, -s, s) / s
+
+    def preconditioned_network_forward(
+        self,
+        unet,
+        unet_params,
+        noised_images,
+        sigma,
+        hp: EDMParams,
+        *,
+        clamp: bool = False,
+        dynamic_threshold: bool = True,
+        cond_scale: float = 1.0,
+        lowres_cond_img=None,
+        cond_images=None,
+        self_cond=None,
+        deterministic: bool = True,
+        rngs=None,
+    ):
+        """EDM eq. (7) (reference :329-358)."""
+        batch = noised_images.shape[0]
+        if isinstance(sigma, float):
+            sigma = jnp.full((batch,), sigma, jnp.float32)
+        padded_sigma = right_pad_dims_to(noised_images, sigma)
+
+        c_noise = hp.c_noise(sigma)
+        apply_kwargs = dict(
+            lowres_cond_img=lowres_cond_img,
+            cond_images=cond_images,
+            self_cond=self_cond,
+            deterministic=deterministic,
+        )
+        net_in = hp.c_in(padded_sigma) * noised_images
+        if rngs is not None:
+            net_out = unet.apply(unet_params, net_in, c_noise, c_noise,
+                                 rngs=rngs, **apply_kwargs)
+        else:
+            net_out = unet.apply(unet_params, net_in, c_noise, c_noise,
+                                 **apply_kwargs)
+
+        out = hp.c_skip(padded_sigma) * noised_images + hp.c_out(padded_sigma) * net_out
+        if not clamp:
+            return out
+        return self.threshold_x_start(out, dynamic_threshold)
+
+    # ------------------------------------------------------------------
+    def one_unet_sample(
+        self,
+        unet,
+        unet_params,
+        key: jax.Array,
+        shape: Tuple[int, ...],
+        *,
+        hp: EDMParams,
+        clamp: bool = True,
+        dynamic_threshold: bool = True,
+        cond_scale: float = 1.0,
+        lowres_cond_img=None,
+        cond_images=None,
+        inpaint_images=None,
+        inpaint_masks=None,
+        inpaint_resample_times: int = 5,
+        init_images=None,
+        skip_steps: Optional[int] = None,
+        sigma_min: Optional[float] = None,
+        sigma_max: Optional[float] = None,
+    ):
+        """Stochastic Heun sampling loop as one lax.scan (reference :381-532)."""
+        import dataclasses as _dc
+
+        if sigma_min is not None or sigma_max is not None:
+            hp = _dc.replace(
+                hp,
+                sigma_min=sigma_min or hp.sigma_min,
+                sigma_max=sigma_max or hp.sigma_max,
+            )
+
+        sigmas = hp.sample_schedule()  # (N+1,)
+        gammas = hp.gammas(sigmas)
+
+        sigma_cur = sigmas[:-1]
+        sigma_next = sigmas[1:]
+        gamma_cur = gammas[:-1]
+
+        initial_step = default(skip_steps, 0)
+        if initial_step > 0:
+            sigma_cur = sigma_cur[initial_step:]
+            sigma_next = sigma_next[initial_step:]
+            gamma_cur = gamma_cur[initial_step:]
+
+        key, init_key = jax.random.split(key)
+        images = sigma_cur[0] * jax.random.normal(init_key, shape, jnp.float32)
+        if exists(init_images):
+            images = images + init_images
+
+        has_inpainting = exists(inpaint_images) and exists(inpaint_masks)
+        resample_times = inpaint_resample_times if has_inpainting else 1
+        if has_inpainting:
+            inpaint_images = self.normalize_img(inpaint_images)
+            inpaint_images = resize_volume(inpaint_images, shape[1])
+            inpaint_masks = resize_volume(
+                inpaint_masks.astype(jnp.float32), shape[1]
+            )
+
+        unet_self_cond = getattr(unet, "self_cond", False)
+
+        fwd_kwargs = dict(
+            hp=hp, clamp=clamp, dynamic_threshold=dynamic_threshold,
+            cond_scale=cond_scale, lowres_cond_img=lowres_cond_img,
+            cond_images=cond_images,
+        )
+
+        def resample_step(carry, sig, sig_next, gamma, r_index):
+            images, x_start, key = carry
+            key, k_eps, k_repaint = jax.random.split(key, 3)
+
+            eps = hp.S_noise * jax.random.normal(k_eps, shape, jnp.float32)
+            sigma_hat = sig + gamma * sig
+            added_noise = jnp.sqrt(jnp.maximum(sigma_hat ** 2 - sig ** 2, 0.0)) * eps
+            images_hat = images + added_noise
+
+            if has_inpainting:
+                images_hat = (
+                    images_hat * (1 - inpaint_masks)
+                    + (inpaint_images + added_noise) * inpaint_masks
+                )
+
+            self_cond = x_start if unet_self_cond else None
+            model_output = self.preconditioned_network_forward(
+                unet, unet_params, images_hat, sigma_hat,
+                self_cond=self_cond, **fwd_kwargs,
+            )
+            denoised_over_sigma = (images_hat - model_output) / sigma_hat
+            images_next = images_hat + (sig_next - sigma_hat) * denoised_over_sigma
+
+            # 2nd-order correction unless sigma_next == 0 (reference :500-516)
+            def corrected(images_next):
+                sc = model_output if unet_self_cond else None
+                model_output_next = self.preconditioned_network_forward(
+                    unet, unet_params, images_next, sig_next,
+                    self_cond=sc, **fwd_kwargs,
+                )
+                denoised_prime = (images_next - model_output_next) / jnp.where(
+                    sig_next == 0, 1.0, sig_next
+                )
+                img2 = images_hat + 0.5 * (sig_next - sigma_hat) * (
+                    denoised_over_sigma + denoised_prime
+                )
+                return img2, model_output_next
+
+            def uncorrected(images_next):
+                return images_next, model_output
+
+            images, x_start = jax.lax.cond(
+                sig_next != 0, corrected, uncorrected, images_next
+            )
+
+            if has_inpainting and r_index != 0:
+                repaint_noise = jax.random.normal(k_repaint, shape, jnp.float32)
+                images = images + (sig - sig_next) * repaint_noise
+
+            return (images, x_start, key)
+
+        def scan_step(carry, step):
+            sig, sig_next, gamma = step
+            for r in reversed(range(resample_times)):
+                carry = resample_step(carry, sig, sig_next, gamma, r)
+            return carry, None
+
+        init_carry = (images, jnp.zeros_like(images), key)
+        (images, _, _), _ = jax.lax.scan(
+            scan_step, init_carry, (sigma_cur, sigma_next, gamma_cur)
+        )
+
+        if self.norm == "min-max":
+            images = jnp.clip(images, -1.0, 1.0)
+        else:
+            images = jnp.clip(images, min=self.min_bound)
+        if has_inpainting:
+            images = images * (1 - inpaint_masks) + inpaint_images * inpaint_masks
+        return self.unnormalize_img(images)
+
+    # ------------------------------------------------------------------
+    def sample(
+        self,
+        params: List[Any],
+        key: jax.Array,
+        *,
+        batch_size: int = 1,
+        cond_images=None,
+        inpaint_images=None,
+        inpaint_masks=None,
+        inpaint_resample_times: int = 5,
+        init_images=None,
+        skip_steps=None,
+        sigma_min=None,
+        sigma_max=None,
+        cond_scale: Union[float, Sequence[float]] = 1.0,
+        lowres_sample_noise_level: Optional[float] = None,
+        start_at_unet_number: int = 1,
+        start_image_or_video=None,
+        stop_at_unet_number: Optional[int] = None,
+        return_all_outputs: bool = False,
+    ):
+        """Cascade EDM sampling (reference :536-702)."""
+        num_unets = self.num_unets
+        cond_scale = cast_tuple(cond_scale, num_unets)
+        init_images = cast_tuple(init_images, num_unets)
+        init_images = [
+            self.normalize_img(im) if exists(im) else None for im in init_images
+        ]
+        skip_steps = cast_tuple(skip_steps, num_unets)
+        sigma_min = cast_tuple(sigma_min, num_unets)
+        sigma_max = cast_tuple(sigma_max, num_unets)
+
+        lowres_sample_noise_level = default(
+            lowres_sample_noise_level, self.lowres_sample_noise_level
+        )
+
+        img = None
+        if start_at_unet_number > 1:
+            assert start_image_or_video is not None
+            prev_size = self.image_sizes[start_at_unet_number - 2]
+            img = resize_volume(jnp.asarray(start_image_or_video), prev_size)
+
+        outputs = []
+        for unet_number in range(1, num_unets + 1):
+            if unet_number < start_at_unet_number:
+                continue
+            index = unet_number - 1
+            unet = self.unets[index]
+            hp = self.hparams[index]
+            size = self.image_sizes[index]
+            key, k_lowres, k_sample = jax.random.split(key, 3)
+
+            lowres_cond_img = None
+            if getattr(unet, "lowres_cond", False):
+                lowres_noise_times = self.lowres_noise_schedule.get_times(
+                    batch_size, lowres_sample_noise_level
+                )
+                lowres_cond_img = resize_volume(img, size)
+                lowres_cond_img = self.normalize_img(lowres_cond_img)
+                lowres_cond_img, *_ = self.lowres_noise_schedule.q_sample(
+                    lowres_cond_img, lowres_noise_times,
+                    jax.random.normal(k_lowres, lowres_cond_img.shape),
+                )
+
+            unet_init = init_images[index]
+            if exists(unet_init):
+                unet_init = resize_volume(unet_init, size)
+
+            shape = (batch_size, size, size, size, self.channels)
+            img = self.one_unet_sample(
+                unet, params[index], k_sample, shape, hp=hp,
+                clamp=True, dynamic_threshold=self.dynamic_thresholding[index],
+                cond_scale=cond_scale[index], lowres_cond_img=lowres_cond_img,
+                cond_images=cond_images, inpaint_images=inpaint_images,
+                inpaint_masks=inpaint_masks,
+                inpaint_resample_times=inpaint_resample_times,
+                init_images=unet_init, skip_steps=skip_steps[index],
+                sigma_min=sigma_min[index], sigma_max=sigma_max[index],
+            )
+            outputs.append(img)
+            if stop_at_unet_number == unet_number:
+                break
+
+        return outputs if return_all_outputs else outputs[-1]
+
+    # ------------------------------------------------------------------
+    def forward(
+        self,
+        params: List[Any],
+        key: jax.Array,
+        images,
+        lowres_img=None,
+        *,
+        unet_number: Optional[int] = None,
+        cond_images=None,
+        deterministic: bool = True,
+        rngs=None,
+    ):
+        """EDM training loss (reference :712-882). Returns the scalar loss.
+
+        When ``lowres_img`` is None and the unet is lowres-conditioned, the
+        conditioning image is built by down-up-resizing ``images`` through the
+        previous stage size (reference :779-782) — the upstream imagen-style
+        self-supervised SR setup. Passing ``lowres_img`` uses the IQT paired
+        setup instead.
+        """
+        assert not (self.num_unets > 1 and unet_number is None)
+        unet_number = default(unet_number, 1)
+        assert (
+            self.only_train_unet_number is None
+            or self.only_train_unet_number == unet_number
+        )
+        index = unet_number - 1
+        unet = self.unets[index]
+        hp = self.hparams[index]
+        target_image_size = self.image_sizes[index]
+        prev_image_size = self.image_sizes[index - 1] if index > 0 else None
+        batch_size = images.shape[0]
+
+        key, k_aug_t, k_aug_n, k_sigma, k_noise = jax.random.split(key, 5)
+
+        lowres_cond_img = lowres_aug_times = None
+        if lowres_img is not None:
+            lowres_cond_img = lowres_img
+        elif prev_image_size is not None:
+            lowres_cond_img = resize_volume(
+                images, prev_image_size, clamp_range=self.input_image_range
+            )
+            lowres_cond_img = resize_volume(
+                lowres_cond_img, target_image_size,
+                clamp_range=self.input_image_range,
+            )
+
+        if lowres_cond_img is not None:
+            if self.per_sample_random_aug_noise_level:
+                lowres_aug_times = self.lowres_noise_schedule.sample_random_times(
+                    k_aug_t, batch_size
+                )
+            else:
+                t1 = self.lowres_noise_schedule.sample_random_times(k_aug_t, 1)
+                lowres_aug_times = jnp.broadcast_to(t1, (batch_size,))
+
+        images = resize_volume(images, target_image_size)
+        images = self.normalize_img(images)
+
+        lowres_cond_img_noisy = None
+        if lowres_cond_img is not None:
+            lowres_cond_img = self.normalize_img(lowres_cond_img)
+            lowres_cond_img_noisy, *_ = self.lowres_noise_schedule.q_sample(
+                lowres_cond_img, lowres_aug_times,
+                jax.random.normal(k_aug_n, lowres_cond_img.shape),
+            )
+
+        sigmas = hp.noise_distribution(k_sigma, batch_size)
+        padded_sigmas = right_pad_dims_to(images, sigmas)
+
+        noise = jax.random.normal(k_noise, images.shape, jnp.float32)
+        noised_images = images + padded_sigmas * noise
+
+        denoised = self.preconditioned_network_forward(
+            unet, params[index], noised_images, sigmas, hp,
+            lowres_cond_img=lowres_cond_img_noisy, cond_images=cond_images,
+            deterministic=deterministic, rngs=rngs,
+        )
+
+        losses = ((denoised - images) ** 2).reshape(batch_size, -1).mean(axis=-1)
+        losses = losses * hp.loss_weight(sigmas)
+        return losses.mean()

