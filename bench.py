@@ -1,0 +1,116 @@
+"""Benchmark: denoise steps/sec/chip for the flagship IQT sampling path.
+
+Runs the eval-config workload (reference ``config/eval_config.yaml``):
+27x32^3 sub-volume batch (one 96^3 patch), boundary halo convs, lowres
+conditioning, dim-64 SR U-Net, 20-step ancestral sampling — on whatever
+backend JAX selects (the driver runs this on one real TPU chip).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+plus auxiliary fields (volumes/hour projection). The reference repo records
+no baseline numbers (BASELINE.md), so ``vs_baseline`` is reported against
+the first recorded value of this harness (1.0 on the first run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from diffusioniqt_tpu.config import Config
+    from diffusioniqt_tpu.data.stitching import sliding_window_grid
+    from diffusioniqt_tpu.diffusion.gaussian import imagen_from_config
+    from diffusioniqt_tpu.models.unet3d import NullUnet, iqt_unet_from_config
+
+    # eval-config flagship (reference config/eval_config.yaml)
+    cfg = Config()
+    cfg.train.batch_sample = True
+    cfg.train.boundary = True
+    cfg.train.patch_size_sub = 32
+    cfg.train.timesteps = 20
+    cfg.train.pred_obj = "x_start"
+    cfg.train.dynamic_threshold = False
+    on_tpu = jax.default_backend() == "tpu"
+    cfg.train.compute_dtype = "bfloat16" if on_tpu else "float32"
+
+    unet = iqt_unet_from_config(cfg)
+    imagen = imagen_from_config(cfg, [NullUnet(), unet])
+
+    batch = 27  # one 96^3 patch as 27 sub-volumes
+    params = imagen.init_params(jax.random.PRNGKey(0), batch_size=batch)
+
+    key = jax.random.PRNGKey(1)
+    lowres = jax.random.normal(key, (batch, 32, 32, 32, 1), jnp.float32)
+
+    def sample_fn(params1, key, lowres):
+        return imagen.p_sample_loop(
+            imagen.unets[1], params1, key,
+            (batch, 32, 32, 32, 1),
+            noise_scheduler=imagen.noise_schedulers[1],
+            lowres_cond_img=lowres,
+            pred_objective="x_start",
+            dynamic_threshold=False,
+        )
+
+    fn = jax.jit(sample_fn)
+
+    # compile + warmup
+    out = fn(params[1], key, lowres)
+    jax.block_until_ready(out)
+
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fn(params[1], jax.random.fold_in(key, i), lowres)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+
+    steps = cfg.train.timesteps
+    steps_per_sec = steps * iters / elapsed
+    patches_per_sec = iters / elapsed  # 96^3 patches (27x32^3 each)
+
+    # full-volume projection: 240^3 brain volume, 96^3 windows, stride 32
+    # (reference test.py:151-153 crops 256^3 -> 240^3; eval overlap=32)
+    grid = sliding_window_grid((240, 240, 240), 96, 32)
+    volumes_per_hour = patches_per_sec / len(grid) * 3600.0
+
+    baseline_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH_BASELINE.json")
+    vs_baseline = 1.0
+    if os.path.exists(baseline_file):
+        with open(baseline_file) as fh:
+            base = json.load(fh)
+        if base.get("value"):
+            vs_baseline = steps_per_sec / base["value"]
+    else:
+        with open(baseline_file, "w") as fh:
+            json.dump({"metric": "denoise steps/sec/chip",
+                       "value": steps_per_sec}, fh)
+
+    print(json.dumps({
+        "metric": "denoise steps/sec/chip (27x32^3 batch, dim-64 SR U-Net)",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/sec",
+        "vs_baseline": round(vs_baseline, 3),
+        "aux": {
+            "backend": jax.default_backend(),
+            "patch_batches_per_sec": round(patches_per_sec, 4),
+            "volumes_per_hour_240c_overlap32": round(volumes_per_hour, 2),
+            "sampling_timesteps": steps,
+            "compute_dtype": cfg.train.compute_dtype,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

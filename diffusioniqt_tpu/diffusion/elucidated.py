@@ -126,8 +126,12 @@ class ElucidatedImagen:
         params = []
         for ind, (unet, size) in enumerate(zip(self.unets, self.image_sizes)):
             k = jax.random.fold_in(key, ind)
-            x = jnp.zeros((batch_size, size, size, size, self.channels), jnp.float32)
-            t = jnp.zeros((batch_size,), jnp.float32)
+            b = batch_size
+            if getattr(unet, "batch_sample", False):
+                f3 = unet.batch_sample_factor ** 3
+                b = -(-b // f3) * f3  # round up to a whole sub-volume group
+            x = jnp.zeros((b, size, size, size, self.channels), jnp.float32)
+            t = jnp.zeros((b,), jnp.float32)
             lowres = x if getattr(unet, "lowres_cond", False) else None
             params.append(jax.jit(unet.init)(k, x, t, t, lowres_cond_img=lowres))
         return params

@@ -173,8 +173,13 @@ class Imagen:
         params = []
         for ind, (unet, size) in enumerate(zip(self.unets, self.image_sizes)):
             k = jax.random.fold_in(key, ind)
-            x = jnp.zeros((batch_size, size, size, size, self.channels), jnp.float32)
-            t = jnp.zeros((batch_size,), jnp.float32)
+            b = batch_size
+            if getattr(unet, "batch_sample", False):
+                # batch_sample geometry needs a multiple of factor^3 sub-volumes
+                f3 = unet.batch_sample_factor ** 3
+                b = -(-b // f3) * f3  # round up to a whole sub-volume group
+            x = jnp.zeros((b, size, size, size, self.channels), jnp.float32)
+            t = jnp.zeros((b,), jnp.float32)
             lowres = x if getattr(unet, "lowres_cond", False) else None
             params.append(
                 jax.jit(unet.init)(k, x, t, t, lowres_cond_img=lowres)

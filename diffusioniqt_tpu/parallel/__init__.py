@@ -1,0 +1,6 @@
+from diffusioniqt_tpu.parallel.mesh import create_mesh  # noqa: F401
+from diffusioniqt_tpu.parallel.sharding import (  # noqa: F401
+    batch_sharding,
+    param_shardings,
+    replicate,
+)

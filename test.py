@@ -1,0 +1,150 @@
+"""Single-volume inference entry — capability parity with the reference
+``test.py``: sliding-window sampling over a full low-field volume with
+overlap-trimmed stitching and NIfTI/npy output (reference test.py:141-256).
+
+Additions: ``--fake-data`` synthesises a volume so the pipeline smoke-runs
+without NIfTI data; ``--stitch gaussian`` enables Gaussian-weighted blending.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def build_trainer(cfg):
+    from diffusioniqt_tpu.diffusion.gaussian import imagen_from_config
+    from diffusioniqt_tpu.models.unet3d import NullUnet, iqt_unet_from_config
+    from diffusioniqt_tpu.train.trainer import ImagenTrainer
+
+    unet1 = NullUnet()
+    print("Unet1 loaded")
+    unet2 = iqt_unet_from_config(cfg)
+    print("Unet2 loaded")
+    imagen = imagen_from_config(cfg, (unet1, unet2))
+    print("Imagen loaded")
+    trainer = ImagenTrainer(
+        configs=cfg, imagen=imagen,
+        gradient_accumulation_steps=cfg.train.gradient_accumulation_steps,
+    )
+    return trainer
+
+
+def infer_volume(cfg, trainer, lowres_raw: np.ndarray, stitch_mode: str = "trim",
+                 use_ema: bool = True, verbose: bool = True):
+    """Sliding-window sampling + stitching over one raw LR volume.
+
+    Returns the prediction in normalized (z-score) space, shaped like
+    ``lowres_raw`` (reference stitching loop, test.py:174-243).
+    """
+    import jax.numpy as jnp
+
+    from diffusioniqt_tpu.data.datasets import SupervisedIQTInference
+    from diffusioniqt_tpu.data.loader import DataLoader
+    from diffusioniqt_tpu.data.stitching import VolumeStitcher
+    from diffusioniqt_tpu.ops.volume import (
+        subvolumes_to_volume,
+        volume_to_subvolumes,
+    )
+
+    dataset = SupervisedIQTInference(cfg, lr_file=None, volume=lowres_raw)
+    loader = DataLoader(dataset, batch_size=1, shuffle=False)
+
+    patch = cfg.train.patch_size  # 96 when batch_sample
+    stitcher = VolumeStitcher(
+        lowres_raw.shape, patch, cfg.eval.overlap, mode=stitch_mode,
+        fill_value=cfg.data.min_bound,
+    )
+    n_done = 0
+    for data in loader:
+        patch_input, idx = data  # (1, p, p, p, 1), (1, 3)
+        x = jnp.asarray(patch_input)
+        if cfg.train.batch_sample and x.shape[1] != cfg.train.patch_size_sub:
+            x = volume_to_subvolumes(x, cfg.train.batch_sample_factor)
+        outputs = trainer.sample(
+            batch_size=x.shape[0],
+            start_image_or_video=x,
+            start_at_unet_number=2,
+            return_all_unet_outputs=True,
+            use_non_ema=not use_ema,
+        )
+        out = outputs[0]
+        if cfg.train.batch_sample:
+            out = subvolumes_to_volume(out, cfg.train.batch_sample_factor)
+        stitcher.add(np.asarray(out)[0, ..., 0], idx[0])
+        n_done += 1
+        if verbose:
+            print(f"patch {n_done}/{len(dataset)} at {idx[0].tolist()}")
+    return stitcher.result()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="./config/eval_config.yaml")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--lowres", default=None, help="LR NIfTI/.npy path")
+    ap.add_argument("--highres", default=None, help="HR NIfTI/.npy path")
+    ap.add_argument("--output-dir", default=".")
+    ap.add_argument("--stitch", choices=["trim", "gaussian"], default="trim")
+    ap.add_argument("--fake-data", action="store_true")
+    ap.add_argument("--fake-edge", type=int, default=None)
+    args = ap.parse_args()
+
+    from diffusioniqt_tpu.config import load_config
+    from diffusioniqt_tpu.data.datasets import load_affine, load_volume, save_volume
+
+    cfg = load_config(args.config)
+    trainer = build_trainer(cfg)
+    if args.checkpoint:
+        trainer.load(args.checkpoint)
+    else:
+        trainer.prepare()
+        print("WARNING: no checkpoint given — sampling with random weights")
+
+    mean, std = cfg.data.mean, cfg.data.std
+    if args.fake_data:
+        edge = args.fake_edge or cfg.train.patch_size + cfg.eval.overlap
+        rng = np.random.default_rng(0)
+        highres = np.abs(rng.standard_normal((edge,) * 3)).astype(np.float32) * std
+        lowres = highres + rng.standard_normal(highres.shape).astype(np.float32) * 0.1 * std
+        affine = np.eye(4)
+    else:
+        assert args.lowres and args.highres, "--lowres/--highres required"
+        lowres = load_volume(args.lowres)
+        highres = load_volume(args.highres)
+        affine = load_affine(args.highres)
+        if lowres.shape[-1] == 256:
+            low, high = 8, 248  # reference test.py:151-153
+            lowres = lowres[low:high, low:high, low:high]
+            highres = highres[low:high, low:high, low:high]
+
+    print(f"lowres: {lowres.shape} highres: {highres.shape}")
+
+    start = time.time()
+    pred = infer_volume(cfg, trainer, lowres, stitch_mode=args.stitch)
+    print("TIME: {}".format(time.time() - start))
+
+    highres_n = (highres - mean) / std
+    lowres_n = (lowres - mean) / std
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    np.save(os.path.join(args.output_dir, "volume_inf.npy"), pred)
+    np.save(os.path.join(args.output_dir, "volume_gt.npy"), highres_n)
+    np.save(os.path.join(args.output_dir, "volume_lr.npy"), lowres_n)
+    for name, vol in (("volume_inf", pred), ("volume_gt", highres_n),
+                      ("volume_lr", lowres_n)):
+        try:
+            save_volume(os.path.join(args.output_dir, f"{name}.nii.gz"),
+                        vol, affine)
+        except ImportError:
+            break  # nibabel unavailable; .npy outputs already written
+
+
+if __name__ == "__main__":
+    main()

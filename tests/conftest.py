@@ -17,6 +17,13 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon TPU plugin registers itself from sitecustomize at interpreter
+# boot and overrides jax_platforms — force CPU back via the config API
+# (env vars alone are clobbered by the plugin's register()).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 # repo root on sys.path so `import diffusioniqt_tpu` works without install
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _ROOT not in sys.path:

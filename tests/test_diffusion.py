@@ -118,8 +118,8 @@ def test_sample_skip_steps(imagen_and_params):
 
 def test_noise_objective_path():
     imagen = Imagen(
-        unets=[tiny_unet(lowres_cond=True)],
-        image_sizes=(8,),
+        unets=[NullUnet(), tiny_unet()],
+        image_sizes=(8, 8),
         channels=1, timesteps=4, pred_objectives="noise",
         dynamic_thresholding=True, auto_normalize_img=False,
         cond_drop_prob=0.0, norm="min-max",
@@ -127,7 +127,7 @@ def test_noise_objective_path():
     params = imagen.init_params(jax.random.PRNGKey(0), batch_size=1)
     key = jax.random.PRNGKey(1)
     images = jax.random.normal(key, (1, 8, 8, 8, 1))
-    loss, *_ = imagen.forward(params, key, images, images * 0.5, unet_number=1)
+    loss, *_ = imagen.forward(params, key, images, images * 0.5, unet_number=2)
     assert jnp.isfinite(loss)
 
 
