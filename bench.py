@@ -64,15 +64,20 @@ def main():
 
     fn = jax.jit(sample_fn)
 
+    def sync(x):
+        # force a device->host transfer: on the axon platform
+        # block_until_ready can return before execution completes
+        return float(jnp.sum(x))
+
     # compile + warmup
     out = fn(params[1], key, lowres)
-    jax.block_until_ready(out)
+    sync(out)
 
     iters = 5
     t0 = time.perf_counter()
     for i in range(iters):
         out = fn(params[1], jax.random.fold_in(key, i), lowres)
-    jax.block_until_ready(out)
+        sync(out)
     elapsed = time.perf_counter() - t0
 
     steps = cfg.train.timesteps

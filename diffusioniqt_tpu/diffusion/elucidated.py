@@ -173,8 +173,9 @@ class ElucidatedImagen:
     ):
         """EDM eq. (7) (reference :329-358)."""
         batch = noised_images.shape[0]
-        if isinstance(sigma, float):
-            sigma = jnp.full((batch,), sigma, jnp.float32)
+        sigma = jnp.asarray(sigma, jnp.float32)
+        if sigma.ndim == 0:
+            sigma = jnp.broadcast_to(sigma, (batch,))
         padded_sigma = right_pad_dims_to(noised_images, sigma)
 
         c_noise = hp.c_noise(sigma)
