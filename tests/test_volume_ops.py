@@ -84,6 +84,34 @@ def test_boundary_halo_interior_continuity():
     assert float(halo[0, 1, 1, 1, 0]) == 1.0
 
 
+def test_boundary_equivalence_same_conv_on_merged():
+    """The load-bearing identity behind the fast boundary path:
+    VALID conv on halo blocks == SAME conv on the merged volume, re-split.
+    (reference boundary_pad + VALID conv, imagen_pytorch3D.py:37-46,551-566
+    vs. models.blocks.Block merged mode)."""
+    f, s, c = 3, 4, 2
+    key = jax.random.PRNGKey(7)
+    sub = jax.random.normal(key, (f ** 3, s, s, s, c))
+    kernel = jax.random.normal(jax.random.PRNGKey(8), (3, 3, 3, c, 5))
+
+    def conv(x, padding):
+        return jax.lax.conv_general_dilated(
+            x, kernel, (1, 1, 1), padding,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+
+    # reference formulation: halo + VALID per sub-volume
+    halo = boundary_halo(sub, factor=f, halo=1)
+    ref = conv(halo, "VALID")
+
+    # fast formulation: SAME conv on merged, split back
+    merged = subvolumes_to_volume(sub, factor=f)
+    fast = volume_to_subvolumes(conv(merged, "SAME"), factor=f)
+
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_pixel_shuffle_roundtrip():
     x = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 4, 4, 16))
     up = pixel_shuffle_3d(x, scale=2)
