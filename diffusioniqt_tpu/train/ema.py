@@ -23,7 +23,9 @@ class EMAState:
 
     @classmethod
     def create(cls, params) -> "EMAState":
-        return cls(params=jax.tree_util.tree_map(jnp.asarray, params),
+        # deep copy: the online params' buffers get donated by the jitted
+        # train step, so the EMA must own its own storage
+        return cls(params=jax.tree_util.tree_map(jnp.copy, params),
                    step=jnp.zeros((), jnp.int32))
 
 
