@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from diffusioniqt_tpu.ops.volume import (
-    boundary_halo,
+    halo_exchange,
     pixel_shuffle_3d,
     pixel_unshuffle_3d,
 )
@@ -145,13 +145,13 @@ class Block(nn.Module):
     """GroupNorm → optional (scale+1, shift) → Mish → Conv3 (reference
     imagen_pytorch3D.py:535-566).
 
-    ``boundary`` (= merged-layout mode): the reference implements boundary
-    convs as merge→zero-pad→overlapping-halo-unfold→VALID conv per block
-    (:37-46, :551-566). That is mathematically identical to a SAME conv on
-    the *merged* volume — so in boundary mode this block expects the merged
-    layout ``(B/f^3, f*s, f*s, f*s, C)`` and runs one SAME conv, with
-    GroupNorm statistics still computed per sub-volume. 3x faster on TPU
-    (no gather, no 34^3 intermediates), bit-equal math.
+    ``boundary``: the reference implements boundary convs as
+    merge→zero-pad→overlapping-halo-unfold→VALID conv per block
+    (:37-46, :551-566). Here the halo is built by a 26-neighbour shell
+    exchange (ops.volume.halo_exchange) — identical values, ~3x faster than
+    re-gathering the merged volume — followed by the same VALID conv. Data
+    stays in the split (B, s, s, s, C) layout, where GroupNorm/SE are the
+    standard fast per-batch ops.
     """
 
     dim_out: int
@@ -168,18 +168,19 @@ class Block(nn.Module):
                            (x.shape[-1],), jnp.float32)
             bias = self.param("norm_bias", nn.initializers.zeros,
                               (x.shape[-1],), jnp.float32)
-            if self.boundary:
-                x = subvol_group_norm(x, g, self.factor, self.groups)
-                x = x + bias.astype(x.dtype)
-            else:
-                x = subvol_group_norm(x, g, 1, self.groups)
-                x = x + bias.astype(x.dtype)
+            x = subvol_group_norm(x, g, 1, self.groups)
+            x = x + bias.astype(x.dtype)
         if scale_shift is not None:
             scale, shift = scale_shift
             x = x * (scale + 1) + shift
         x = mish(x)
+        if self.boundary:
+            x = halo_exchange(x, factor=self.factor)
+            padding = "VALID"
+        else:
+            padding = "SAME"
         return nn.Conv(
-            self.dim_out, kernel_size=(3, 3, 3), padding="SAME",
+            self.dim_out, kernel_size=(3, 3, 3), padding=padding,
             dtype=self.dtype,
         )(x)
 
@@ -218,13 +219,7 @@ class ResnetBlock(nn.Module):
         if self.time_cond_dim is not None and time_emb is not None:
             t = mish(time_emb)
             t = nn.Dense(self.dim_out * 2, dtype=self.dtype)(t)
-            if self.boundary:
-                f = self.factor
-                bm = x.shape[0]
-                t = t.reshape(bm, f, f, f, self.dim_out * 2)
-                t = _expand_subvol(t, x.shape[1])
-            else:
-                t = t[:, None, None, None, :]
+            t = t[:, None, None, None, :]
             scale_shift = jnp.split(t, 2, axis=-1)
 
         h = Block(
@@ -237,10 +232,7 @@ class ResnetBlock(nn.Module):
         )(h, scale_shift=scale_shift)
 
         if self.use_se:
-            h = SE3D(
-                reduction=16, factor=self.factor if self.boundary else 1,
-                dtype=self.dtype,
-            )(h)
+            h = SE3D(reduction=16, dtype=self.dtype)(h)
 
         if x.shape[-1] != self.dim_out:
             x = nn.Conv(self.dim_out, kernel_size=(1, 1, 1), dtype=self.dtype)(x)

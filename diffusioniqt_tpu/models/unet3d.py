@@ -146,14 +146,12 @@ class UNet3D(nn.Module):
 
     def _attend_merged(self, x, attn, deterministic):
         """Merge 27 sub-volumes -> full volume, attend (global receptive
-        field), split back (reference imagen_pytorch3D.py:1610-1622).
-        In boundary mode activations are already merged-layout."""
+        field), split back (reference imagen_pytorch3D.py:1610-1622)."""
         res = x
-        needs_merge = self.batch_sample and not self.boundary
-        if needs_merge:
+        if self.batch_sample:
             x = subvolumes_to_volume(x, factor=self.batch_sample_factor)
         x = attn(x, deterministic=deterministic)
-        if needs_merge:
+        if self.batch_sample:
             x = volume_to_subvolumes(x, factor=self.batch_sample_factor)
         return x + res
 
@@ -200,11 +198,11 @@ class UNet3D(nn.Module):
             x = jnp.concatenate([cond_images, x], axis=-1)
 
         # --- init conv (reference :1286-1291, :1587-1589) -----------------
-        # boundary mode: switch to the merged layout once — every boundary
-        # conv (reference merge→pad→halo-unfold→VALID, :37-46) is a SAME
-        # conv on the merged volume (see models.blocks.Block docstring)
         if self.boundary:
-            x = subvolumes_to_volume(x, factor=self.batch_sample_factor)
+            # reference: boundary_pad before init conv (:1587-1588)
+            from diffusioniqt_tpu.ops.volume import halo_exchange
+
+            x = halo_exchange(x, factor=self.batch_sample_factor)
         if self.init_cross_embed:
             assert not self.boundary, "boundary mode requires the plain init conv"
             x = CrossEmbedLayer(
@@ -214,7 +212,8 @@ class UNet3D(nn.Module):
         else:
             k = self.init_conv_kernel_size
             x = nn.Conv(
-                init_dim, kernel_size=(k, k, k), padding="SAME",
+                init_dim, kernel_size=(k, k, k),
+                padding="VALID" if self.boundary else "SAME",
                 dtype=self.dtype, name="init_conv",
             )(x)
 
@@ -351,8 +350,6 @@ class UNet3D(nn.Module):
             padding="SAME" if k > 1 else "VALID",
             dtype=jnp.float32, name="final_conv",
         )(x.astype(jnp.float32))
-        if self.boundary:
-            out = volume_to_subvolumes(out, factor=self.batch_sample_factor)
         return out
 
 

@@ -7,6 +7,7 @@ import numpy as np
 
 from diffusioniqt_tpu.ops.volume import (
     boundary_halo,
+    halo_exchange,
     pixel_shuffle_3d,
     pixel_unshuffle_3d,
     resize_volume,
@@ -14,6 +15,16 @@ from diffusioniqt_tpu.ops.volume import (
     upsample_trilinear,
     volume_to_subvolumes,
 )
+
+
+def test_halo_exchange_matches_boundary_halo():
+    """The fast 26-neighbour shell exchange must equal the reference
+    merge->pad->unfold halo (boundary_pad, imagen_pytorch3D.py:37-46)."""
+    for b_groups in (1, 2):
+        x = jax.random.normal(jax.random.PRNGKey(5), (27 * b_groups, 4, 4, 4, 3))
+        ref = boundary_halo(x, factor=3, halo=1)
+        got = halo_exchange(x, factor=3)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
 def test_split_merge_roundtrip():
