@@ -17,6 +17,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+from diffusioniqt_tpu.utils.platform import ensure_platform
+
+ensure_platform()
+
 
 def build_trainer(cfg):
     from diffusioniqt_tpu.diffusion.gaussian import imagen_from_config

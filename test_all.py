@@ -16,6 +16,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+from diffusioniqt_tpu.utils.platform import ensure_platform
+
+ensure_platform()
+
 
 def evaluate(pred: np.ndarray, gt: np.ndarray, border: int = 32,
              lpips_fn=None):

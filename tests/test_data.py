@@ -1,0 +1,96 @@
+"""Data pipeline tests: loader collate, sliding-window grid, stitching."""
+
+import numpy as np
+import pytest
+
+from diffusioniqt_tpu.config import Config
+from diffusioniqt_tpu.data.datasets import FakeIQTDataset, SupervisedIQTInference
+from diffusioniqt_tpu.data.loader import DataLoader, collate_drop_none
+from diffusioniqt_tpu.data.stitching import VolumeStitcher, sliding_window_grid
+
+
+def test_collate_drops_none():
+    items = [(np.ones((2, 2)), np.zeros(3)), None, (np.ones((2, 2)) * 2, np.ones(3))]
+    batch = collate_drop_none(items)
+    assert batch[0].shape == (2, 2, 2)
+    assert batch[1].shape == (2, 3)
+    assert collate_drop_none([None, None]) is None
+
+
+def test_dataloader_batching():
+    ds = FakeIQTDataset(size=4, length=10)
+    dl = DataLoader(ds, batch_size=4)
+    batches = list(dl)
+    assert len(batches) == 3
+    assert batches[0][0].shape == (4, 4, 4, 4, 1)
+    assert batches[-1][0].shape == (2, 4, 4, 4, 1)
+    dl = DataLoader(ds, batch_size=4, drop_last=True)
+    assert len(list(dl)) == 2
+
+
+def test_sliding_window_grid():
+    grid = sliding_window_grid((240, 240, 240), 96, 32)
+    # range(0, 240-96+1, 32) = 0,32,64,96,128 -> 5 per axis
+    assert len(grid) == 5 ** 3
+    assert grid.min() == 0
+    assert grid.max() == 128
+
+
+def test_inference_dataset_brain_filter():
+    cfg = Config()
+    cfg.train.patch_size_sub = 8
+    cfg.train.batch_sample = False
+    cfg.eval.overlap = 8
+    vol = np.zeros((16, 16, 16), np.float32)
+    vol[:8, :8, :8] = 100.0  # brain only in one corner
+    ds = SupervisedIQTInference(cfg, lr_file=None, volume=vol)
+    items = [ds[i] for i in range(len(ds))]
+    kept = [it for it in items if it is not None]
+    assert len(items) == 8
+    assert len(kept) == 1
+    patch, idx = kept[0]
+    assert patch.shape == (8, 8, 8, 1)
+    np.testing.assert_array_equal(idx, [0, 0, 0])
+
+
+def test_stitcher_trim_roundtrip():
+    """Stitching constant patches with trim mode reproduces a constant
+    volume; borders stay untrimmed (reference test.py:184-243 semantics)."""
+    vol_shape = (16, 16, 16)
+    patch, overlap = 8, 4
+    st = VolumeStitcher(vol_shape, patch, overlap, mode="trim", fill_value=-1.0)
+    grid = sliding_window_grid(vol_shape, patch, overlap)
+    for idx in grid:
+        st.add(np.full((patch,) * 3, 7.0, np.float32), idx)
+    out = st.result()
+    np.testing.assert_array_equal(out, 7.0)
+
+
+def test_stitcher_trim_interior_writes_center():
+    st = VolumeStitcher((16, 16, 16), 8, 4, mode="trim", fill_value=0.0)
+    st.add(np.full((8, 8, 8), 5.0, np.float32), (4, 4, 4))
+    out = st.result()
+    # interior patch: overlap//2=2 trimmed from each face
+    assert out[6, 6, 6] == 5.0
+    assert out[4, 4, 4] == 0.0  # trimmed region untouched
+    assert out[12, 12, 12] == 0.0
+
+
+def test_stitcher_gaussian_identity_on_constant():
+    vol_shape = (16, 16, 16)
+    patch, overlap = 8, 4
+    st = VolumeStitcher(vol_shape, patch, overlap, mode="gaussian")
+    for idx in sliding_window_grid(vol_shape, patch, overlap):
+        st.add(np.full((patch,) * 3, 3.0, np.float32), idx)
+    out = st.result()
+    np.testing.assert_allclose(out, 3.0, rtol=1e-5)
+
+
+def test_stitcher_background_mask():
+    st = VolumeStitcher((8, 8, 8), 8, 8, mode="trim")
+    st.add(np.ones((8, 8, 8), np.float32), (0, 0, 0))
+    mask = np.zeros((8, 8, 8), bool)
+    mask[0, 0, 0] = True
+    out = st.result(background_mask=mask, background_value=-0.7)
+    assert out[0, 0, 0] == np.float32(-0.7)
+    assert out[1, 1, 1] == 1.0

@@ -21,6 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+from diffusioniqt_tpu.utils.platform import ensure_platform
+
+ensure_platform()
+
 
 def main():
     ap = argparse.ArgumentParser()
