@@ -128,7 +128,20 @@ def MSSIM(
     sigma: float = 1.5,
     betas: Sequence[float] = _MSSSIM_BETAS,
 ) -> jnp.ndarray:
-    """Multi-scale SSIM, torchmetrics defaults (reference metrics.py:32-34)."""
+    """Multi-scale SSIM, torchmetrics defaults (reference metrics.py:32-34).
+
+    Scales that would shrink the volume below the filter size are dropped
+    (with the remaining beta weights renormalised) so small test volumes
+    yield a defined value instead of NaN."""
+    min_edge = min(pred.shape[1:4])
+    if min_edge < kernel_size:
+        kernel_size = max(3, min_edge if min_edge % 2 else min_edge - 1)
+    feasible = 1
+    while feasible < len(betas) and min_edge // (2 ** feasible) >= kernel_size:
+        feasible += 1
+    if feasible < len(betas):
+        total = sum(betas[:feasible])
+        betas = [b / total for b in betas[:feasible]]
     vals = []
     for i, beta in enumerate(betas):
         is_last = i == len(betas) - 1

@@ -34,17 +34,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _conv_kernel(x_main_ref, x_next_ref, w_ref, o_ref, e_ref, *, tz: int,
-                 s: int, c: int, cout: int):
+                 s: int, c: int, cout: int, pair: bool):
     # assemble the per-row 9-shift patch matrices into VMEM scratch
-    # (offset stores — Mosaic rejects lane-dim concats at 64-lane offsets)
     for zp in range(tz + 2):
         src = x_main_ref if zp < tz else x_next_ref
         zi = zp if zp < tz else zp - tz
         slab = src[0, zi]  # (s+2, s+2, C)
-        for tap in range(9):
-            dy, dx = divmod(tap, 3)
-            shifted = slab[dy:dy + s, dx:dx + s, :].reshape(s * s, c)
-            e_ref[zp, :, tap * c:(tap + 1) * c] = shifted
+        if pair:
+            # c == 64: write taps in 128-lane-aligned pairs so stores hit
+            # full (sublane, lane) tiles instead of masked 64-offset writes
+            for p in range(4):
+                dy0, dx0 = divmod(2 * p, 3)
+                dy1, dx1 = divmod(2 * p + 1, 3)
+                a = slab[dy0:dy0 + s, dx0:dx0 + s, :].reshape(s * s, c)
+                bq = slab[dy1:dy1 + s, dx1:dx1 + s, :].reshape(s * s, c)
+                e_ref[zp, :, p * 2 * c:(p + 1) * 2 * c] = jnp.concatenate(
+                    [a, bq], axis=-1
+                )
+            last = slab[2:2 + s, 2:2 + s, :].reshape(s * s, c)
+            e_ref[zp, :, 8 * c:9 * c] = last
+        else:
+            for tap in range(9):
+                dy, dx = divmod(tap, 3)
+                shifted = slab[dy:dy + s, dx:dx + s, :].reshape(s * s, c)
+                e_ref[zp, :, tap * c:(tap + 1) * c] = shifted
 
     # 3 large MXU matmuls per tile (M = tz*s*s, K = 9C, N = Cout); row z of
     # the output consumes expanded rows z, z+1, z+2 — expressed as shifted
@@ -88,7 +101,9 @@ def _conv3d_valid_fwd_impl(xh, w):
     # pad z so the "next tile" spec never reads out of bounds
     xp = jnp.pad(xh, [(0, 0), (0, tz), (0, 0), (0, 0), (0, 0)])
 
-    kernel = functools.partial(_conv_kernel, tz=tz, s=s, c=c, cout=cout)
+    pair = (c == 64)
+    kernel = functools.partial(_conv_kernel, tz=tz, s=s, c=c, cout=cout,
+                               pair=pair)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, s, s, s, cout), xh.dtype),

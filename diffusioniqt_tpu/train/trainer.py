@@ -165,10 +165,25 @@ class ImagenTrainer:
         return sub
 
     def prepare(self, batch_size: int = 1):
-        """Initialise parameters, optimizer and EMA state."""
+        """Initialise parameters, optimizer and EMA state. With a mesh,
+        parameters are placed with DP/TP shardings (parallel.sharding) and
+        the train step compiles to one SPMD program — the reference's
+        Accelerate/DDP equivalent (trainer.py:296-301, SURVEY.md §2.2)."""
         if self.prepared:
             return
         self.params = self.imagen.init_params(self._next_key(), batch_size)
+        if self.mesh is not None:
+            from diffusioniqt_tpu.parallel.sharding import param_shardings
+
+            self._param_shards = [
+                param_shardings(p, self.mesh) for p in self.params
+            ]
+            self.params = [
+                jax.device_put(p, s)
+                for p, s in zip(self.params, self._param_shards)
+            ]
+        else:
+            self._param_shards = None
         self.opt_states = [
             tx.init(p) for tx, p in zip(self._txs, self.params)
         ]
@@ -257,10 +272,8 @@ class ImagenTrainer:
 
         grad_fn = jax.value_and_grad(loss_fn)
 
-        def train_step(unet_params, opt_state, key, hr, lr_img):
-            mb = hr.shape[0] // accum
-            hr_chunks = hr[: mb * accum].reshape((accum, mb) + hr.shape[1:])
-            lr_chunks = lr_img[: mb * accum].reshape((accum, mb) + lr_img.shape[1:])
+        def train_step(unet_params, opt_state, key, hr_chunks, lr_chunks):
+            # inputs pre-chunked host-side: (accum, microbatch, ...)
             keys = jax.random.split(key, accum)
 
             def body(carry, xs):
@@ -279,6 +292,18 @@ class ImagenTrainer:
             unet_params = optax.apply_updates(unet_params, updates)
             return unet_params, opt_state, loss_sum / accum
 
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            p_shard = self._param_shards[unet_index]
+            b_shard = NamedSharding(self.mesh, P(None, "data"))
+            rep = NamedSharding(self.mesh, P())
+            return jax.jit(
+                train_step,
+                donate_argnums=(0, 1),
+                in_shardings=(p_shard, None, rep, b_shard, b_shard),
+                out_shardings=(p_shard, None, None),
+            )
         return jax.jit(train_step, donate_argnums=(0, 1))
 
     def train_step(self, unet_number: Optional[int] = None,
@@ -310,6 +335,18 @@ class ImagenTrainer:
             accum = max(accum, -(-b // max_batch_size))
         if b % accum != 0:
             accum = 1  # fall back to a single chunk on ragged batches
+
+        # pre-chunk host-side: (accum, microbatch, ...) — with a mesh, each
+        # microbatch's leading axis shards over 'data'
+        mb = b // accum
+        hr = hr[: mb * accum].reshape((accum, mb) + hr.shape[1:])
+        lr_img = lr_img[: mb * accum].reshape((accum, mb) + lr_img.shape[1:])
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            b_shard = NamedSharding(self.mesh, P(None, "data"))
+            hr = jax.device_put(hr, b_shard)
+            lr_img = jax.device_put(lr_img, b_shard)
 
         cache_key = (index, accum, hr.shape)
         if cache_key not in self._train_step_fns:
