@@ -53,6 +53,7 @@ class ElucidatedImagen:
         lowres_noise_schedule: str = "linear",
         norm: str = "min-max",
         min_bound: float = -1.0,
+        spatial_dims: int = 3,
         num_sample_steps: Union[int, Sequence[int]] = 32,
         sigma_min: Union[float, Sequence[float]] = 0.002,
         sigma_max: Union[float, Sequence[float]] = 80.0,
@@ -71,6 +72,7 @@ class ElucidatedImagen:
         self.channels = channels
         self.norm = norm
         self.min_bound = float(min_bound)
+        self.spatial_dims = spatial_dims
         self.only_train_unet_number = only_train_unet_number
         self.cond_drop_prob = cond_drop_prob
         self.can_classifier_guidance = cond_drop_prob > 0.0
@@ -130,7 +132,10 @@ class ElucidatedImagen:
             if getattr(unet, "batch_sample", False):
                 f3 = unet.batch_sample_factor ** 3
                 b = -(-b // f3) * f3  # round up to a whole sub-volume group
-            x = jnp.zeros((b, size, size, size, self.channels), jnp.float32)
+            x = jnp.zeros(
+                (b,) + (size,) * self.spatial_dims + (self.channels,),
+                jnp.float32,
+            )
             t = jnp.zeros((b,), jnp.float32)
             lowres = x if getattr(unet, "lowres_cond", False) else None
             params.append(jax.jit(unet.init)(k, x, t, t, lowres_cond_img=lowres))
@@ -166,12 +171,17 @@ class ElucidatedImagen:
         dynamic_threshold: bool = True,
         cond_scale: float = 1.0,
         lowres_cond_img=None,
+        lowres_noise_times=None,
         cond_images=None,
+        text_embeds=None,
+        text_mask=None,
         self_cond=None,
         deterministic: bool = True,
         rngs=None,
     ):
         """EDM eq. (7) (reference :329-358)."""
+        import inspect
+
         batch = noised_images.shape[0]
         sigma = jnp.asarray(sigma, jnp.float32)
         if sigma.ndim == 0:
@@ -185,6 +195,14 @@ class ElucidatedImagen:
             self_cond=self_cond,
             deterministic=deterministic,
         )
+        # text / lowres-noise conditioning for unets that accept them
+        # (the video unet; the 3D IQT unet is unconditional)
+        unet_params_sig = inspect.signature(type(unet).__call__).parameters
+        if "lowres_noise_times" in unet_params_sig:
+            apply_kwargs["lowres_noise_times"] = lowres_noise_times
+        if "text_embeds" in unet_params_sig and text_embeds is not None:
+            apply_kwargs["text_embeds"] = text_embeds
+            apply_kwargs["text_mask"] = text_mask
         net_in = hp.c_in(padded_sigma) * noised_images
         if rngs is not None:
             net_out = unet.apply(unet_params, net_in, c_noise, c_noise,
@@ -211,7 +229,10 @@ class ElucidatedImagen:
         dynamic_threshold: bool = True,
         cond_scale: float = 1.0,
         lowres_cond_img=None,
+        lowres_noise_times=None,
         cond_images=None,
+        text_embeds=None,
+        text_mask=None,
         inpaint_images=None,
         inpaint_masks=None,
         inpaint_resample_times: int = 5,
@@ -262,7 +283,8 @@ class ElucidatedImagen:
         fwd_kwargs = dict(
             hp=hp, clamp=clamp, dynamic_threshold=dynamic_threshold,
             cond_scale=cond_scale, lowres_cond_img=lowres_cond_img,
-            cond_images=cond_images,
+            lowres_noise_times=lowres_noise_times, cond_images=cond_images,
+            text_embeds=text_embeds, text_mask=text_mask,
         )
 
         def resample_step(carry, sig, sig_next, gamma, r_index):
@@ -356,8 +378,19 @@ class ElucidatedImagen:
         start_image_or_video=None,
         stop_at_unet_number: Optional[int] = None,
         return_all_outputs: bool = False,
+        video_frames: Optional[int] = None,
+        text_embeds=None,
+        text_mask=None,
     ):
-        """Cascade EDM sampling (reference :536-702)."""
+        """Cascade EDM sampling (reference :536-702). ``video_frames``
+        switches to (B, F, size, size, C) video shapes (reference :604-610)."""
+
+        def _resize(img, size):
+            if video_frames is not None:
+                out_shape = (img.shape[0], img.shape[1], size, size,
+                             img.shape[-1])
+                return jax.image.resize(img, out_shape, "nearest")
+            return resize_volume(img, size)
         num_unets = self.num_unets
         cond_scale = cast_tuple(cond_scale, num_unets)
         init_images = cast_tuple(init_images, num_unets)
@@ -376,7 +409,7 @@ class ElucidatedImagen:
         if start_at_unet_number > 1:
             assert start_image_or_video is not None
             prev_size = self.image_sizes[start_at_unet_number - 2]
-            img = resize_volume(jnp.asarray(start_image_or_video), prev_size)
+            img = _resize(jnp.asarray(start_image_or_video), prev_size)
 
         outputs = []
         for unet_number in range(1, num_unets + 1):
@@ -389,11 +422,12 @@ class ElucidatedImagen:
             key, k_lowres, k_sample = jax.random.split(key, 3)
 
             lowres_cond_img = None
+            lowres_noise_times = None
             if getattr(unet, "lowres_cond", False):
                 lowres_noise_times = self.lowres_noise_schedule.get_times(
                     batch_size, lowres_sample_noise_level
                 )
-                lowres_cond_img = resize_volume(img, size)
+                lowres_cond_img = _resize(img, size)
                 lowres_cond_img = self.normalize_img(lowres_cond_img)
                 lowres_cond_img, *_ = self.lowres_noise_schedule.q_sample(
                     lowres_cond_img, lowres_noise_times,
@@ -402,14 +436,21 @@ class ElucidatedImagen:
 
             unet_init = init_images[index]
             if exists(unet_init):
-                unet_init = resize_volume(unet_init, size)
+                unet_init = _resize(unet_init, size)
 
-            shape = (batch_size, size, size, size, self.channels)
+            if video_frames is not None:
+                shape = (batch_size, video_frames, size, size, self.channels)
+            else:
+                shape = (batch_size,) + (size,) * self.spatial_dims + (self.channels,)
             img = self.one_unet_sample(
                 unet, params[index], k_sample, shape, hp=hp,
                 clamp=True, dynamic_threshold=self.dynamic_thresholding[index],
                 cond_scale=cond_scale[index], lowres_cond_img=lowres_cond_img,
-                cond_images=cond_images, inpaint_images=inpaint_images,
+                lowres_noise_times=(
+                    self.lowres_noise_schedule.get_condition(lowres_noise_times)
+                ),
+                cond_images=cond_images, text_embeds=text_embeds,
+                text_mask=text_mask, inpaint_images=inpaint_images,
                 inpaint_masks=inpaint_masks,
                 inpaint_resample_times=inpaint_resample_times,
                 init_images=unet_init, skip_steps=skip_steps[index],
@@ -431,6 +472,8 @@ class ElucidatedImagen:
         *,
         unet_number: Optional[int] = None,
         cond_images=None,
+        text_embeds=None,
+        text_mask=None,
         deterministic: bool = True,
         rngs=None,
     ):
@@ -497,8 +540,12 @@ class ElucidatedImagen:
 
         denoised = self.preconditioned_network_forward(
             unet, params[index], noised_images, sigmas, hp,
-            lowres_cond_img=lowres_cond_img_noisy, cond_images=cond_images,
-            deterministic=deterministic, rngs=rngs,
+            lowres_cond_img=lowres_cond_img_noisy,
+            lowres_noise_times=(
+                self.lowres_noise_schedule.get_condition(lowres_aug_times)
+            ),
+            cond_images=cond_images, text_embeds=text_embeds,
+            text_mask=text_mask, deterministic=deterministic, rngs=rngs,
         )
 
         losses = ((denoised - images) ** 2).reshape(batch_size, -1).mean(axis=-1)

@@ -91,6 +91,7 @@ class Imagen:
         norm: str = "z-score",
         batch_sample: bool = False,
         lpips_fn=None,
+        spatial_dims: int = 3,
     ):
         unets = list(unets) if isinstance(unets, (list, tuple)) else [unets]
         num_unets = len(unets)
@@ -101,6 +102,7 @@ class Imagen:
         self.batch_sample = batch_sample
         self.only_train_unet_number = only_train_unet_number
         self.lpips_fn = lpips_fn
+        self.spatial_dims = spatial_dims  # 3 = volumes, 2 = slices
 
         if loss_type not in _LOSSES:
             raise NotImplementedError(f"unknown loss type {loss_type}")
@@ -178,7 +180,10 @@ class Imagen:
                 # batch_sample geometry needs a multiple of factor^3 sub-volumes
                 f3 = unet.batch_sample_factor ** 3
                 b = -(-b // f3) * f3  # round up to a whole sub-volume group
-            x = jnp.zeros((b, size, size, size, self.channels), jnp.float32)
+            x = jnp.zeros(
+                (b,) + (size,) * self.spatial_dims + (self.channels,),
+                jnp.float32,
+            )
             t = jnp.zeros((b,), jnp.float32)
             lowres = x if getattr(unet, "lowres_cond", False) else None
             params.append(
@@ -431,7 +436,7 @@ class Imagen:
                 lowres_cond_img = img
 
             size = self.image_sizes[index]
-            shape = (batch_size, size, size, size, self.channels)
+            shape = (batch_size,) + (size,) * self.spatial_dims + (self.channels,)
 
             result = self.p_sample_loop(
                 unet,

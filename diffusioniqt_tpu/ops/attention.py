@@ -34,6 +34,9 @@ def _flash_available() -> bool:
         return False
 
 
+_FLASH_MIN_TOKENS = 4096  # below this the XLA-fused reference is faster
+
+
 def scaled_dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -41,8 +44,10 @@ def scaled_dot_product_attention(
     scale: float,
     use_flash: bool = True,
 ) -> jnp.ndarray:
-    """Dispatching attention: Pallas flash kernel on TPU, jnp elsewhere."""
-    if use_flash and _flash_available():
+    """Dispatching attention: Pallas flash kernel on TPU for long token
+    counts (where the N^2 score matrix stops fitting cache), XLA-fused jnp
+    otherwise (measured faster below ~4k tokens on v5e)."""
+    if use_flash and k.shape[1] >= _FLASH_MIN_TOKENS and _flash_available():
         try:
             from diffusioniqt_tpu.ops.pallas.flash_attention import flash_attention
 

@@ -109,25 +109,22 @@ def _flash_forward(q, k, v, scale: float,
     out = pl.pallas_call(
         functools.partial(_fa_kernel, scale=scale, n_kv=n_kv, block_k=block_k),
         out_shape=jax.ShapeDtypeStruct((b, nq_pad, d_pad), q.dtype),
-        grid_spec=pl.GridSpec(
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, block_q, d_pad), lambda b, i, j: (b, i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_k, d_pad), lambda b, i, j: (b, j, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_k, d_pad), lambda b, i, j: (b, j, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, d_pad), lambda b, i, j: (b, i, 0)),
+                pl.BlockSpec((1, block_k, d_pad), lambda b, i, j: (b, j, 0)),
+                pl.BlockSpec((1, block_k, d_pad), lambda b, i, j: (b, j, 0)),
             ],
             out_specs=pl.BlockSpec((1, block_q, d_pad),
-                                   lambda b, i, j: (b, i, 0),
-                                   memory_space=pltpu.VMEM),
+                                   lambda b, i, j: (b, i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, _LANES), jnp.float32),  # m
+                pltpu.VMEM((block_q, _LANES), jnp.float32),  # l
+                pltpu.VMEM((block_q, d_pad), jnp.float32),   # acc
+            ],
         ),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, _LANES), jnp.float32),  # m
-            pltpu.VMEM((block_q, _LANES), jnp.float32),  # l
-            pltpu.VMEM((block_q, d_pad), jnp.float32),   # acc
-        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),

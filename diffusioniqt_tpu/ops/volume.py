@@ -210,12 +210,18 @@ def resize_volume(
     method: str = "nearest",
     clamp_range=None,
 ) -> jnp.ndarray:
-    """Spatially resize a (B, X, Y, Z, C) volume to edge ``target_size``
-    (reference ``resize_image_to``, imagen_pytorch3D.py:165-181)."""
-    if x.shape[1] == target_size and x.shape[2] == target_size and x.shape[3] == target_size:
+    """Spatially resize a channels-last volume (B, ..., C) to edge
+    ``target_size`` on every spatial axis (reference ``resize_image_to``,
+    imagen_pytorch3D.py:165-181). Works for 2D slices and 3D volumes."""
+    spatial = x.shape[1:-1]
+    if all(s == target_size for s in spatial):
         return x
-    out_shape = (x.shape[0], target_size, target_size, target_size, x.shape[4])
-    jax_method = {"nearest": "nearest", "trilinear": "trilinear", "linear": "trilinear"}[method]
+    out_shape = (x.shape[0],) + (target_size,) * len(spatial) + (x.shape[-1],)
+    jax_method = {
+        "nearest": "nearest", "trilinear": "trilinear", "linear": "trilinear",
+    }[method]
+    if jax_method == "trilinear" and len(spatial) == 2:
+        jax_method = "bilinear"
     out = jax.image.resize(x, out_shape, method=jax_method)
     if clamp_range is not None:
         out = jnp.clip(out, clamp_range[0], clamp_range[1])

@@ -335,6 +335,13 @@ class ImagenTrainer:
             accum = max(accum, -(-b // max_batch_size))
         if b % accum != 0:
             accum = 1  # fall back to a single chunk on ragged batches
+        if self.mesh is not None:
+            data_size = self.mesh.shape.get("data", 1)
+            assert b % data_size == 0, (
+                f"batch {b} not divisible by data-parallel size {data_size}"
+            )
+            while accum > 1 and (b // accum) % data_size != 0:
+                accum -= 1  # each microbatch must shard evenly over 'data'
 
         # pre-chunk host-side: (accum, microbatch, ...) — with a mesh, each
         # microbatch's leading axis shards over 'data'

@@ -41,12 +41,12 @@ def test_mesh_and_single_device_losses_match_first_step():
     )
 
     t1 = ImagenTrainer(configs=cfg, imagen=tiny_imagen(cfg),
-                       gradient_accumulation_steps=2, seed=7)
+                       gradient_accumulation_steps=1, seed=7)
     l1 = t1.train_step(unet_number=2, batch=batch)
 
     mesh = create_mesh(("data",), (8,))
     t2 = ImagenTrainer(configs=cfg, imagen=tiny_imagen(cfg), mesh=mesh,
-                       gradient_accumulation_steps=2, seed=7)
+                       gradient_accumulation_steps=1, seed=7)
     l2 = t2.train_step(unet_number=2, batch=batch)
 
     np.testing.assert_allclose(l1, l2, rtol=1e-4)
