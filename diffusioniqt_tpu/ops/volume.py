@@ -117,15 +117,67 @@ def boundary_halo(x: jnp.ndarray, factor: int = 3, halo: int = 1) -> jnp.ndarray
     return full.reshape(n, e, e, e, full.shape[-1])
 
 
+def _spatial_region(s: int, d: int):
+    """((src_start, len) in x, dst_start in padded) along one axis for grid
+    offset d."""
+    if d == -1:
+        return (s - 1, 1), 0
+    if d == 1:
+        return (0, 1), s + 1
+    return (0, s), 1
+
+
+def _halo_exchange_roll(x: jnp.ndarray, factor: int = 3) -> jnp.ndarray:
+    """Flat-5D halo: per-offset face slice + batch roll + masked update.
+    Batch-flat cost on TPU (the 8D grid-view variant scales linearly with
+    batch); preferred for large batches."""
+    n, s = x.shape[0], x.shape[1]
+    f = factor
+    c = x.shape[-1]
+    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
+    b_idx = jnp.arange(n)
+    rem = b_idx % (f ** 3)
+    grid_pos = (rem // (f * f), (rem // f) % f, rem % f)
+
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                if dx == 0 and dy == 0 and dz == 0:
+                    continue
+                shift_b = dx * f * f + dy * f + dz
+                valid = jnp.ones((n,), bool)
+                for gc, d in zip(grid_pos, (dx, dy, dz)):
+                    valid &= (gc + d >= 0) & (gc + d < f)
+                (sx, lx), tx = _spatial_region(s, dx)
+                (sy, ly), ty = _spatial_region(s, dy)
+                (sz, lz), tz = _spatial_region(s, dz)
+                face = jax.lax.dynamic_slice(
+                    x, (0, sx, sy, sz, 0), (n, lx, ly, lz, c)
+                )
+                face = jnp.roll(face, -shift_b, axis=0)
+                face = jnp.where(valid[:, None, None, None, None], face, 0)
+                xp = jax.lax.dynamic_update_slice(xp, face, (0, tx, ty, tz, 0))
+    return xp
+
+
 def halo_exchange(x: jnp.ndarray, factor: int = 3) -> jnp.ndarray:
     """Fast halo construction: zero-pad each sub-volume by 1 and fill the 26
     neighbour regions (6 faces, 12 edges, 8 corners) from adjacent
-    sub-volumes via static dynamic-update-slices.
+    sub-volumes.
 
     Equivalent to :func:`boundary_halo` (the reference's merge→pad→unfold,
-    imagen_pytorch3D.py:37-46) but ~3x faster on TPU: the exchange only
+    imagen_pytorch3D.py:37-46) but far faster on TPU: the exchange only
     moves the thin halo shells instead of re-gathering the whole volume.
+    Dispatches between a grid-view DUS variant (small batch) and a flat-5D
+    roll variant whose cost is batch-flat (large batch).
     """
+    if x.shape[0] >= 4 * factor ** 3:
+        return _halo_exchange_roll(x, factor)
+    return _halo_exchange_dus(x, factor)
+
+
+def _halo_exchange_dus(x: jnp.ndarray, factor: int = 3) -> jnp.ndarray:
+    """Grid-view variant: 26 static dynamic-update-slices on the 8D view."""
     n, s = x.shape[0], x.shape[1]
     f = factor
     b = n // (f ** 3)

@@ -18,13 +18,19 @@ from diffusioniqt_tpu.ops.volume import (
 
 
 def test_halo_exchange_matches_boundary_halo():
-    """The fast 26-neighbour shell exchange must equal the reference
-    merge->pad->unfold halo (boundary_pad, imagen_pytorch3D.py:37-46)."""
-    for b_groups in (1, 2):
+    """Both fast halo variants must equal the reference merge->pad->unfold
+    halo (boundary_pad, imagen_pytorch3D.py:37-46)."""
+    from diffusioniqt_tpu.ops.volume import (
+        _halo_exchange_dus,
+        _halo_exchange_roll,
+    )
+
+    for b_groups in (1, 2, 4):
         x = jax.random.normal(jax.random.PRNGKey(5), (27 * b_groups, 4, 4, 4, 3))
         ref = boundary_halo(x, factor=3, halo=1)
-        got = halo_exchange(x, factor=3)
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        for fn in (halo_exchange, _halo_exchange_dus, _halo_exchange_roll):
+            got = fn(x, 3)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
 def test_split_merge_roundtrip():
