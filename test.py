@@ -41,16 +41,20 @@ def build_trainer(cfg):
 
 
 def infer_volume(cfg, trainer, lowres_raw: np.ndarray, stitch_mode: str = "trim",
-                 use_ema: bool = True, verbose: bool = True):
+                 use_ema: bool = True, verbose: bool = True,
+                 patch_batch: int = 8):
     """Sliding-window sampling + stitching over one raw LR volume.
 
     Returns the prediction in normalized (z-score) space, shaped like
     ``lowres_raw`` (reference stitching loop, test.py:174-243).
+
+    ``patch_batch`` patches are denoised together per device step — TPU conv
+    throughput roughly doubles from batch 1 to 8 (the last group is padded
+    by repetition so only one program is compiled).
     """
     import jax.numpy as jnp
 
     from diffusioniqt_tpu.data.datasets import SupervisedIQTInference
-    from diffusioniqt_tpu.data.loader import DataLoader
     from diffusioniqt_tpu.data.stitching import VolumeStitcher
     from diffusioniqt_tpu.ops.volume import (
         subvolumes_to_volume,
@@ -58,17 +62,27 @@ def infer_volume(cfg, trainer, lowres_raw: np.ndarray, stitch_mode: str = "trim"
     )
 
     dataset = SupervisedIQTInference(cfg, lr_file=None, volume=lowres_raw)
-    loader = DataLoader(dataset, batch_size=1, shuffle=False)
+    items = [dataset[i] for i in range(len(dataset))]
+    items = [it for it in items if it is not None]
 
     patch = cfg.train.patch_size  # 96 when batch_sample
     stitcher = VolumeStitcher(
         lowres_raw.shape, patch, cfg.eval.overlap, mode=stitch_mode,
         fill_value=cfg.data.min_bound,
     )
+
     n_done = 0
-    for data in loader:
-        patch_input, idx = data  # (1, p, p, p, 1), (1, 3)
-        x = jnp.asarray(patch_input)
+    for start in range(0, len(items), patch_batch):
+        chunk = items[start:start + patch_batch]
+        n_real = len(chunk)
+        if len(chunk) < patch_batch:
+            # pad by repetition so every group compiles to the same program
+            reps = -(-patch_batch // len(chunk))
+            chunk = (chunk * reps)[:patch_batch]
+        patches = np.stack([c[0] for c in chunk])  # (G, p, p, p, 1)
+        idxs = [c[1] for c in chunk[:n_real]]
+
+        x = jnp.asarray(patches)
         if cfg.train.batch_sample and x.shape[1] != cfg.train.patch_size_sub:
             x = volume_to_subvolumes(x, cfg.train.batch_sample_factor)
         outputs = trainer.sample(
@@ -81,10 +95,12 @@ def infer_volume(cfg, trainer, lowres_raw: np.ndarray, stitch_mode: str = "trim"
         out = outputs[0]
         if cfg.train.batch_sample:
             out = subvolumes_to_volume(out, cfg.train.batch_sample_factor)
-        stitcher.add(np.asarray(out)[0, ..., 0], idx[0])
-        n_done += 1
+        out_np = np.asarray(out)
+        for j, idx in enumerate(idxs):
+            stitcher.add(out_np[j, ..., 0], idx)
+            n_done += 1
         if verbose:
-            print(f"patch {n_done}/{len(dataset)} at {idx[0].tolist()}")
+            print(f"patches {n_done}/{len(items)}")
     return stitcher.result()
 
 
