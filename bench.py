@@ -46,7 +46,7 @@ def main():
     unet = iqt_unet_from_config(cfg)
     imagen = imagen_from_config(cfg, [NullUnet(), unet])
 
-    patches = int(os.environ.get("BENCH_PATCH_BATCH", "4"))
+    patches = int(os.environ.get("BENCH_PATCH_BATCH", "8"))
     batch = 27 * patches  # patches x 27 sub-volumes per 96^3 patch
     params = imagen.init_params(jax.random.PRNGKey(0), batch_size=27)
 

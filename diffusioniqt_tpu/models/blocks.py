@@ -120,19 +120,28 @@ def subvol_stats_reshape(x: jnp.ndarray, factor: int):
 
 def subvol_group_norm(x: jnp.ndarray, scale: jnp.ndarray, factor: int,
                       groups: int, eps: float = 1e-5) -> jnp.ndarray:
-    """GroupNorm with statistics per *sub-volume* of a merged volume.
+    """GroupNorm over (spatial, channels-in-group), per batch element
+    (factor=1) or per sub-volume of a merged volume (factor>1) — the
+    reference's per-sub-volume semantics (imagen_pytorch3D.py:546).
 
-    Matches the reference's per-sub-volume GroupNorm semantics (each of the
-    27 batch_sample sub-volumes normalised independently,
-    imagen_pytorch3D.py:546) while the data stays in the merged layout the
-    TPU conv path wants. Pure reshape + reduction — XLA fuses it into the
-    surrounding elementwise chain.
+    factor=1 uses single-pass E[x^2]-E[x]^2 statistics accumulated in fp32
+    (25% less HBM traffic than the two-pass form at bf16; activations here
+    are O(1) z-scores, so the cancellation loss is below bf16 resolution).
     """
     b, S, _, _, c = x.shape
-    f = factor
-    s = S // f
     cg = c // groups
     orig_dtype = x.dtype
+    if factor == 1:
+        xv = x.reshape(b, S * S * S, groups, cg)
+        mean = jnp.mean(xv, axis=(1, 3), dtype=jnp.float32, keepdims=True)
+        sq = jnp.mean(jnp.square(xv.astype(jnp.float32)), axis=(1, 3),
+                      keepdims=True)
+        var = jnp.maximum(sq - jnp.square(mean), 0.0)
+        out = (xv.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + eps)
+        out = out.reshape(b, S, S, S, c) * scale.astype(jnp.float32)
+        return out.astype(orig_dtype)
+    f = factor
+    s = S // f
     xv = x.astype(jnp.float32).reshape(b, f, s, f, s, f, s, groups, cg)
     mean = xv.mean(axis=(2, 4, 6, 8), keepdims=True)
     var = jnp.square(xv - mean).mean(axis=(2, 4, 6, 8), keepdims=True)
