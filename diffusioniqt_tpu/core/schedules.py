@@ -102,6 +102,32 @@ class GaussianDiffusionContinuousTimes:
         t_next = jnp.broadcast_to(times[1:, None], (self.timesteps, batch))
         return t_cur, t_next
 
+    def get_sampling_timesteps_non_uniform(
+        self, batch: int, seed: int = 0, gamma: float = 10.0,
+        large_timesteps: int = 10000,
+    ):
+        """Exponentially-weighted non-uniform sampling times (reference
+        :268-288): draw ``timesteps`` distinct times with probability
+        proportional to exp(-gamma * t), always including 1.0 and 0.0.
+        Host-side numpy randomness (the reference uses np.random.choice);
+        returns the same stacked (T', batch) fencepost pairs."""
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        times = np.linspace(1.0, 0.0, large_timesteps)
+        probs = np.exp(-gamma * times).astype(np.float64)
+        probs /= probs.sum()
+        ts = rng.choice(times, self.timesteps, p=probs, replace=False)
+        if 1.0 not in ts:
+            ts = np.concatenate([ts, [1.0]])
+        if 0.0 not in ts:
+            ts = np.concatenate([ts, [0.0]])
+        ts = np.sort(ts)[::-1].copy()
+        ts = jnp.asarray(ts, jnp.float32)
+        t_cur = jnp.broadcast_to(ts[:-1, None], (ts.shape[0] - 1, batch))
+        t_next = jnp.broadcast_to(ts[1:, None], (ts.shape[0] - 1, batch))
+        return t_cur, t_next
+
     # -- forward process --------------------------------------------------
     def q_sample(self, x_start, t, noise):
         """Diffuse x0 to time t. Returns (x_t, log_snr, alpha, sigma)

@@ -360,6 +360,46 @@ class CrossEmbedLayer(nn.Module):
         return jnp.concatenate(fmaps, axis=-1)
 
 
+class TrilinearUpsample(nn.Module):
+    """Trilinear 2x upsample + 3x3x3 conv (reference ``Upsample``,
+    imagen_pytorch3D.py:408-414)."""
+
+    dim_out: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from diffusioniqt_tpu.ops.volume import upsample_trilinear
+
+        x = upsample_trilinear(x, scale=2, align_corners=False)
+        return nn.Conv(self.dim_out, kernel_size=(3, 3, 3), padding="SAME",
+                       dtype=self.dtype)(x)
+
+
+class UpsampleCombiner(nn.Module):
+    """Combine feature maps from all upsample stages before the final block
+    (reference imagen_pytorch3D.py:688-720; disabled in its configs)."""
+
+    dim: int
+    enabled: bool = False
+    dim_outs: Tuple[int, ...] = ()
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, fmaps=None) -> jnp.ndarray:
+        from diffusioniqt_tpu.ops.volume import resize_volume
+
+        fmaps = fmaps or ()
+        if not self.enabled or len(fmaps) == 0:
+            return x
+        target = x.shape[1]
+        outs = []
+        for fmap, dim_out in zip(fmaps, self.dim_outs):
+            fmap = resize_volume(fmap, target)
+            outs.append(Block(dim_out, dtype=self.dtype)(fmap))
+        return jnp.concatenate([x, *outs], axis=-1)
+
+
 class GlobalContext(nn.Module):
     """Attention-style squeeze-excitation (reference imagen_pytorch3D.py:634-659;
     unused alternative kept for capability parity)."""

@@ -465,6 +465,44 @@ class ImagenTrainer:
         psnr_v = float(np.mean(psnrs)) if psnrs else float("nan")
         return loss, preds, noisy, [hrs, lowres_arr], ssim, psnr_v
 
+    def valid_step_sample(self, unet_number: Optional[int] = None,
+                          use_ema_unets: bool = True, **kwargs):
+        """Sampling-based validation (reference ``valid_step2``,
+        trainer.py:629-683): run the full sampler on each validation batch's
+        lowres input and score SSIM/PSNR against ground truth. Returns
+        (losses, preds, [hrs, lrs], ssim, psnr)."""
+        unet_number = self.validate_unet_number(unet_number)
+        assert self.valid_dl is not None
+        if not self.prepared:
+            self.prepare()
+
+        repeat = self.configs.eval.repeat if self.configs else 1
+        losses, preds, hrs, lrs, ssims, psnrs = [], [], [], [], [], []
+        for _ in range(repeat):
+            for batch in self.valid_dl:
+                hr, lr_img = jnp.asarray(batch[0]), jnp.asarray(batch[1])
+                hr, lr_img = self._maybe_batch_sample_split(hr, lr_img)
+                out = self.sample(
+                    batch_size=hr.shape[0],
+                    start_image_or_video=lr_img,
+                    start_at_unet_number=unet_number,
+                    use_non_ema=not use_ema_unets,
+                    **kwargs,
+                )
+                losses.append(float(jnp.mean(jnp.abs(hr - out))))
+                ssims.append(float(SSIM(out, hr)))
+                psnrs.append(float(PSNR(out, hr)))
+                preds.append(np.asarray(out))
+                hrs.append(np.asarray(hr))
+                lrs.append(np.asarray(lr_img))
+        return (
+            np.asarray(losses),
+            np.concatenate(preds),
+            [np.concatenate(hrs), np.concatenate(lrs)],
+            float(np.mean(ssims)),
+            float(np.mean(psnrs)),
+        )
+
     # ------------------------------------------------------------------
     def _sampling_params(self, use_ema: bool) -> List[Any]:
         if use_ema and self.use_ema:
@@ -551,8 +589,19 @@ class ImagenTrainer:
             raise FileNotFoundError(path)
         if not self.prepared:
             self.prepare()
-        with ocp.PyTreeCheckpointer() as ckptr:
-            restored = ckptr.restore(path, item=self._state_tree())
+        try:
+            with ocp.PyTreeCheckpointer() as ckptr:
+                restored = ckptr.restore(path, item=self._state_tree())
+        except Exception:
+            if strict:
+                raise
+            # partial restore: keep current leaves where the checkpoint
+            # mismatches (reference restore_parts, trainer.py:222-233)
+            from diffusioniqt_tpu.utils.checkpoints import restore_parts
+
+            with ocp.PyTreeCheckpointer() as ckptr:
+                raw = ckptr.restore(path)
+            restored = restore_parts(self._state_tree(), raw)
         self.steps = [int(s) for s in np.asarray(restored["steps"])]
         for i in range(self.num_unets):
             entry = restored[f"unet{i}"]

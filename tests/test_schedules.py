@@ -143,3 +143,18 @@ def test_q_sample_from_to_composition():
 def test_invalid_schedule_raises():
     with pytest.raises(ValueError):
         GaussianDiffusionContinuousTimes(noise_schedule="bogus")
+
+
+def test_non_uniform_sampling_timesteps():
+    """Exp-weighted non-uniform times (reference :268-288): descending,
+    endpoints included, correct fencepost pairing."""
+    sched = GaussianDiffusionContinuousTimes(noise_schedule="cosine",
+                                             timesteps=16)
+    t_cur, t_next = sched.get_sampling_timesteps_non_uniform(batch=2, seed=3)
+    tc = np.asarray(t_cur[:, 0])
+    tn = np.asarray(t_next[:, 0])
+    assert tc[0] == 1.0 and tn[-1] == 0.0
+    assert (np.diff(tc) < 0).all()  # strictly descending
+    np.testing.assert_allclose(tn[:-1], tc[1:])
+    # exp(-10t) weighting concentrates times near 0
+    assert (tc < 0.5).mean() > 0.5

@@ -102,6 +102,17 @@ def test_valid_step(trained):
     assert -1.0 <= ssim <= 1.0
 
 
+def test_valid_step_sample(trained):
+    """Sampling-based validation (reference valid_step2)."""
+    cfg, trainer, _ = trained
+    losses, preds, [hrs, lrs], ssim, psnr = trainer.valid_step_sample(
+        unet_number=2
+    )
+    assert np.isfinite(losses).all()
+    assert preds.shape == hrs.shape == lrs.shape
+    assert np.isfinite(ssim) and np.isfinite(psnr)
+
+
 def test_sampling_from_trainer(trained):
     _, trainer, _ = trained
     lowres = jnp.zeros((2, 8, 8, 8, 1))

@@ -113,6 +113,29 @@ def test_cast_model_parameters():
     assert m2.lowres_cond and m2.channels == 1
 
 
+def test_trilinear_upsample_and_combiner():
+    from diffusioniqt_tpu.models.blocks import TrilinearUpsample, UpsampleCombiner
+
+    x = jnp.zeros((1, 4, 4, 4, 8))
+    up = TrilinearUpsample(8, dtype=jnp.float32)
+    params = jax.jit(up.init)(jax.random.PRNGKey(0), x)
+    out = jax.jit(up.apply)(params, x)
+    assert out.shape == (1, 8, 8, 8, 8)
+
+    comb = UpsampleCombiner(dim=8, enabled=True, dim_outs=(4,),
+                            dtype=jnp.float32)
+    fmaps = [jnp.zeros((1, 2, 2, 2, 8))]
+    params = jax.jit(comb.init)(jax.random.PRNGKey(0), x, fmaps)
+    out = comb.apply(params, x, fmaps)
+    assert out.shape == (1, 4, 4, 4, 12)
+
+    disabled = UpsampleCombiner(dim=8, enabled=False)
+    params = disabled.init(jax.random.PRNGKey(0), x, fmaps)
+    np.testing.assert_array_equal(
+        np.asarray(disabled.apply(params, x, fmaps)), np.asarray(x)
+    )
+
+
 def test_iqt_unet_from_config_builds():
     cfg = Config()
     cfg.train.dim = 8
