@@ -131,6 +131,50 @@ def test_noise_objective_path():
     assert jnp.isfinite(loss)
 
 
+def test_sample_inpainting(imagen_and_params):
+    """Inpaint/resample path (reference p_sample_loop :2093-2146): masked
+    regions must stay (noised versions of) the inpaint image; output finite."""
+    imagen, params = imagen_and_params
+    key = jax.random.PRNGKey(11)
+    inpaint = jnp.zeros((1, 8, 8, 8, 1))
+    mask = jnp.zeros((1, 8, 8, 8, 1)).at[:, :4].set(1.0)
+    lowres = jnp.zeros((1, 8, 8, 8, 1))
+    out = imagen.sample(
+        params, key, batch_size=1, start_at_unet_number=2,
+        start_image_or_video=lowres, inpaint_images=inpaint,
+        inpaint_masks=mask, inpaint_resample_times=2,
+    )
+    assert out.shape == (1, 8, 8, 8, 1)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_sample_init_images(imagen_and_params):
+    """init_images offsets the initial noise (reference :2084-2085)."""
+    imagen, params = imagen_and_params
+    lowres = jnp.zeros((1, 8, 8, 8, 1))
+    init = jnp.ones((1, 8, 8, 8, 1)) * 0.5
+    out = imagen.sample(
+        params, jax.random.PRNGKey(12), batch_size=1,
+        start_at_unet_number=2, start_image_or_video=lowres,
+        init_images=(None, init),
+    )
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_legacy_datasets():
+    from diffusioniqt_tpu.data.legacy import IQTDataset, TextCollator
+
+    ds = IQTDataset(fake=True, size=8, length=4)
+    hr, lr = ds[0]
+    assert hr.shape == (8, 8, 8, 1)
+
+    coll = TextCollator(image_size=8, embed_dim=16, max_length=4)
+    batch = coll([(np.zeros((8, 8, 3)), "hello"), (np.ones((8, 8, 3)), "brain mri")])
+    assert batch[0].shape == (2, 8, 8, 3)
+    assert batch[1].shape == (2, 4, 16)
+    assert batch[2].shape == (2, 4)
+
+
 # ---------------------------------------------------------------------------
 # EDM
 
