@@ -243,7 +243,6 @@ class UNet3D(nn.Module):
         # --- down path (reference :1363-1414, :1604-1629) -----------------
         hiddens = []
         skip_dims = []
-        enc_sizes = []
         for ind, (dim_in, dim_out) in enumerate(in_out):
             is_last = ind == (num_layers - 1)
             current_dim = dim_in
@@ -277,7 +276,6 @@ class UNet3D(nn.Module):
             if not is_last:
                 hiddens.append(x)
                 skip_dims.append(current_dim)
-            enc_sizes.append(cur_size)
 
             if self.memory_efficient:
                 x = nn.Conv(dim_out, kernel_size=(1, 1, 1), dtype=self.dtype,

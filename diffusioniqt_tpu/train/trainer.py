@@ -389,7 +389,7 @@ class ImagenTrainer:
         return None
 
     # ------------------------------------------------------------------
-    def _build_valid_loss(self, unet_index: int, shape):
+    def _build_valid_loss(self, unet_index: int):
         imagen = self.imagen
 
         def valid_loss(params_list, key, hr, lr_img):
@@ -432,7 +432,7 @@ class ImagenTrainer:
                 hr, lr_img = jnp.asarray(batch[0]), jnp.asarray(batch[1])
                 hr, lr_img = self._maybe_batch_sample_split(hr, lr_img)
                 if fn is None:
-                    fn = self._build_valid_loss(index, hr.shape)
+                    fn = self._build_valid_loss(index)
                 key, sub = jax.random.split(key)
                 loss, pred, x_noisy, lowres_noisy = fn(
                     self.params, sub, hr, lr_img
