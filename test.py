@@ -112,6 +112,8 @@ def main():
     ap.add_argument("--highres", default=None, help="HR NIfTI/.npy path")
     ap.add_argument("--output-dir", default=".")
     ap.add_argument("--stitch", choices=["trim", "gaussian"], default="trim")
+    ap.add_argument("--patch-batch", type=int, default=8,
+                    help="96^3 patches denoised together per device step")
     ap.add_argument("--fake-data", action="store_true")
     ap.add_argument("--fake-edge", type=int, default=None)
     args = ap.parse_args()
@@ -147,7 +149,8 @@ def main():
     print(f"lowres: {lowres.shape} highres: {highres.shape}")
 
     start = time.time()
-    pred = infer_volume(cfg, trainer, lowres, stitch_mode=args.stitch)
+    pred = infer_volume(cfg, trainer, lowres, stitch_mode=args.stitch,
+                        patch_batch=args.patch_batch)
     print("TIME: {}".format(time.time() - start))
 
     highres_n = (highres - mean) / std

@@ -51,6 +51,7 @@ def main():
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--output-dir", default="./inference_out")
     ap.add_argument("--stitch", choices=["trim", "gaussian"], default="trim")
+    ap.add_argument("--patch-batch", type=int, default=8)
     ap.add_argument("--fake-data", action="store_true")
     ap.add_argument("--fake-volumes", type=int, default=1)
     ap.add_argument("--fake-edge", type=int, default=None)
@@ -97,7 +98,7 @@ def main():
     for name, lowres, highres in subjects:
         start = time.time()
         pred = infer_volume(cfg, trainer, lowres, stitch_mode=args.stitch,
-                            verbose=False)
+                            verbose=False, patch_batch=args.patch_batch)
         elapsed = time.time() - start
         times.append(elapsed)
 
