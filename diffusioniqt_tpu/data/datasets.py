@@ -126,6 +126,7 @@ class SupervisedIQT:
         )
         total_voxel = p ** 3
         best = None
+        best_nz = -1.0
         for _ in range(self.max_retries):
             r = rng.integers(0, high, size=3)
             lr_patch = lr[r[0]:r[0] + p, r[1]:r[1] + p, r[2]:r[2] + p]
@@ -134,14 +135,15 @@ class SupervisedIQT:
                 hr_patch = hr[r[0]:r[0] + p, r[1]:r[1] + p, r[2]:r[2] + p]
                 best = (lr_patch, hr_patch)
                 break
-            if best is None or nz > best[0]:
-                pass
-        if best is None:  # fall back to the volume center
-            c = (lr.shape[0] - p) // 2
-            best = (
-                lr[c:c + p, c:c + p, c:c + p],
-                hr[c:c + p, c:c + p, c:c + p],
-            )
+            # track the highest-occupancy below-threshold candidate so the
+            # bounded-retry fallback matches the reference's retry-forever
+            # distribution as closely as possible (data.py:125-126)
+            if nz > best_nz:
+                best_nz = nz
+                best = (
+                    lr_patch,
+                    hr[r[0]:r[0] + p, r[1]:r[1] + p, r[2]:r[2] + p],
+                )
         lr_patch, hr_patch = best
         lr_patch = self.normalize(lr_patch)[..., None]
         hr_patch = self.normalize(hr_patch)[..., None]

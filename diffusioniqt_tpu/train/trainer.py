@@ -466,11 +466,15 @@ class ImagenTrainer:
         return loss, preds, noisy, [hrs, lowres_arr], ssim, psnr_v
 
     def valid_step_sample(self, unet_number: Optional[int] = None,
-                          use_ema_unets: bool = True, **kwargs):
+                          use_ema_unets: bool = True,
+                          max_batch_size: Optional[int] = None, **kwargs):
         """Sampling-based validation (reference ``valid_step2``,
         trainer.py:629-683): run the full sampler on each validation batch's
-        lowres input and score SSIM/PSNR against ground truth. Returns
-        (losses, preds, [hrs, lrs], ssim, psnr)."""
+        lowres input and score SSIM/PSNR against ground truth. The validation
+        batch itself is chunked by ``max_batch_size`` (reference
+        ``imagen_sample_in_chunks``, trainer.py:201-219) so large validation
+        sets cannot OOM a chip. Returns (losses, preds, [hrs, lrs], ssim,
+        psnr)."""
         unet_number = self.validate_unet_number(unet_number)
         assert self.valid_dl is not None
         if not self.prepared:
@@ -484,6 +488,7 @@ class ImagenTrainer:
                 hr, lr_img = self._maybe_batch_sample_split(hr, lr_img)
                 out = self.sample(
                     batch_size=hr.shape[0],
+                    max_batch_size=max_batch_size,
                     start_image_or_video=lr_img,
                     start_at_unet_number=unet_number,
                     use_non_ema=not use_ema_unets,
@@ -525,7 +530,9 @@ class ImagenTrainer:
             kwargs["return_all_outputs"] = kwargs.pop("return_all_unet_outputs")
         kwargs.pop("return_pil_images", None)
         params = self._sampling_params(use_ema=not use_non_ema)
-        key = kwargs.pop("key", None) or self._next_key()
+        key = kwargs.pop("key", None)
+        if key is None:
+            key = self._next_key()
 
         start = kwargs.get("start_image_or_video", None)
         if max_batch_size is None or batch_size <= max_batch_size:

@@ -94,3 +94,36 @@ def test_stitcher_background_mask():
     out = st.result(background_mask=mask, background_value=-0.7)
     assert out[0, 0, 0] == np.float32(-0.7)
     assert out[1, 1, 1] == 1.0
+
+
+def test_rejection_sampling_best_candidate_fallback(tmp_path):
+    """On a sparse volume where no candidate reaches the non-zero threshold,
+    the fallback must be the highest-occupancy candidate seen — not the
+    volume center (reference retry-forever semantics, data.py:125-126)."""
+    from diffusioniqt_tpu.data.datasets import SupervisedIQT
+
+    s, p = 64, 16
+    lr = np.zeros((s, s, s), np.float32)
+    # one small bright blob far from the center; center region stays empty
+    lr[4:12, 4:12, 4:12] = 1.0
+    hr = lr * 2.0
+    lr_f, hr_f = str(tmp_path / "lr.npy"), str(tmp_path / "hr.npy")
+    np.save(lr_f, lr)
+    np.save(hr_f, hr)
+
+    cfg = Config()
+    cfg.train.patch_size_sub = p
+    cfg.train.batch_sample = False
+    cfg.data.norm = "z-score"
+    cfg.data.mean, cfg.data.std = 0.0, 1.0
+    ds = SupervisedIQT(cfg, [lr_f], [hr_f], train=True, max_retries=400,
+                       volume_size=s)
+
+    hits = 0
+    for _ in range(8):
+        hr_patch, lr_patch = ds[0]
+        # a center crop would be all-zero; the best-candidate fallback
+        # lands on (part of) the blob with overwhelming probability
+        if np.count_nonzero(lr_patch) > 0:
+            hits += 1
+    assert hits >= 6, "fallback never found the non-empty candidate"

@@ -161,3 +161,46 @@ def test_rolling_checkpoint_folder(tmp_path):
         checkpoint_path=str(tmp_path / "ckpts"), checkpoint_every=1,
     )
     assert trainer2.steps[1] == 4
+
+
+def test_chunked_sample_matches_manual_chunks(trained):
+    """Chunked sampling (batch 8, max 2) must equal the concatenation of
+    per-chunk sample() calls following the same key schedule — i.e. the
+    chunk plumbing (EMA params, start-image slicing, concat) is exact
+    (reference imagen_sample_in_chunks, trainer.py:201-219)."""
+    _, trainer, _ = trained
+    lowres = jnp.asarray(
+        np.random.default_rng(3).standard_normal((8, 8, 8, 8, 1)),
+        jnp.float32,
+    )
+    key = jax.random.PRNGKey(7)
+    out = trainer.sample(
+        batch_size=8, max_batch_size=2, key=key,
+        start_at_unet_number=2, start_image_or_video=lowres,
+    )
+    assert out.shape == (8, 8, 8, 8, 1)
+
+    k = key
+    manual = []
+    for i in range(4):
+        k, sub = jax.random.split(k)
+        manual.append(trainer.sample(
+            batch_size=2, key=sub, start_at_unet_number=2,
+            start_image_or_video=lowres[2 * i:2 * i + 2],
+        ))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(jnp.concatenate(manual)), rtol=1e-5,
+        atol=1e-5,
+    )
+
+
+def test_valid_step_sample_chunked(trained):
+    """valid_step_sample(max_batch_size=2) on batch-4 val data must run the
+    chunked path and produce the same shapes/finite metrics as unchunked."""
+    _, trainer, _ = trained
+    losses, preds, [hrs, lrs], ssim, psnr = trainer.valid_step_sample(
+        unet_number=2, max_batch_size=2,
+    )
+    assert np.isfinite(losses).all()
+    assert preds.shape == hrs.shape == lrs.shape
+    assert np.isfinite(ssim) and np.isfinite(psnr)
