@@ -73,6 +73,7 @@ class TrainConfig:
     batch_sample: bool = False
     batch_sample_factor: int = 3
     lpips: bool = False
+    lpips_weights: str = ""  # optional torch VGG16/LPIPS checkpoint path
     medlpips: bool = False
     boundary: bool = False
     att_type: str = "linear"  # 'linear' | 'softmax' | 'vit'

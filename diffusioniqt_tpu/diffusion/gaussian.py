@@ -606,9 +606,19 @@ class Imagen:
 
 def imagen_from_config(cfg, unets) -> Imagen:
     """Build the Imagen wrapper exactly as the reference entry scripts do
-    (reference train.py:118-133 / test.py:110-125)."""
+    (reference train.py:118-133 / test.py:110-125). ``Train.lpips`` wires the
+    slice-wise VGG-LPIPS auxiliary loss into ``p_losses`` (reference
+    imagen_pytorch3D.py:1775-1778, 2372-2385)."""
+    lpips_fn = None
+    if getattr(cfg.train, "lpips", False):
+        from diffusioniqt_tpu.metrics.lpips import make_lpips_fn
+
+        lpips_fn = make_lpips_fn(
+            weights_path=getattr(cfg.train, "lpips_weights", "") or None
+        )
     return Imagen(
         unets,
+        lpips_fn=lpips_fn,
         image_sizes=(cfg.train.patch_size_sub, cfg.train.patch_size_sub),
         min_bound=cfg.data.min_bound,
         channels=cfg.train.channels,

@@ -55,6 +55,10 @@ def main():
     ap.add_argument("--fake-data", action="store_true")
     ap.add_argument("--fake-volumes", type=int, default=1)
     ap.add_argument("--fake-edge", type=int, default=None)
+    ap.add_argument("--lpips", action="store_true",
+                    help="report slice-wise LPIPS (reference test_all.py:43)")
+    ap.add_argument("--lpips-weights", default=None,
+                    help="torch VGG16/LPIPS checkpoint for trained features")
     args = ap.parse_args()
 
     from diffusioniqt_tpu.config import load_config
@@ -93,7 +97,16 @@ def main():
                 hr = hr[low:high, low:high, low:high]
             subjects.append((os.path.basename(os.path.dirname(lrf)), lr, hr))
 
-    msssims, psnrs, times = [], [], []
+    lpips_model = None
+    if args.lpips:
+        from diffusioniqt_tpu.metrics.lpips import (
+            LPIPS, lpips_from_torch_checkpoint,
+        )
+
+        lpips_model = (lpips_from_torch_checkpoint(args.lpips_weights)
+                       if args.lpips_weights else LPIPS())
+
+    msssims, psnrs, lpipss, times = [], [], [], []
     border = min(32, (subjects[0][1].shape[0] - 1) // 3) if subjects else 32
     for name, lowres, highres in subjects:
         start = time.time()
@@ -111,8 +124,17 @@ def main():
         m = evaluate(pred, highres_n, border=border)
         msssims.append(m["msssim"])
         psnrs.append(m["psnr"])
+        lpips_msg = ""
+        if lpips_model is not None:
+            from diffusioniqt_tpu.metrics.lpips import lpips_volume_metric
+
+            p = pred[border:-border, border:-border, border:-border]
+            g = highres_n[border:-border, border:-border, border:-border]
+            lp = lpips_volume_metric(g, p, lpips_model)
+            lpipss.append(lp)
+            lpips_msg = f" lpips={lp:.4f}"
         print(f"{name}: msssim={m['msssim']:.4f} psnr={m['psnr']:.3f} "
-              f"time={elapsed:.1f}s")
+              f"time={elapsed:.1f}s{lpips_msg}")
 
         np.save(os.path.join(args.output_dir, f"{name}_inf.npy"), pred)
         try:
@@ -122,6 +144,8 @@ def main():
 
     print(f"MS-SSIM: {np.mean(msssims):.4f} +/- {np.std(msssims):.4f}")
     print(f"PSNR:    {np.mean(psnrs):.3f} +/- {np.std(psnrs):.3f}")
+    if lpipss:
+        print(f"LPIPS:   {np.mean(lpipss):.4f} +/- {np.std(lpipss):.4f}")
     print(f"Avg sampling time: {np.mean(times):.2f}s")
 
 

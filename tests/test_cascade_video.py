@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from diffusioniqt_tpu.diffusion.elucidated import ElucidatedImagen
 from diffusioniqt_tpu.models.unet_video import Unet3DVideo
 from diffusioniqt_tpu.utils.t5 import hash_text_encode

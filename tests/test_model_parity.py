@@ -1,0 +1,146 @@
+"""Whole-model golden parity: reference torch Unet vs flax UNet3D.
+
+Builds the reference ``Unet`` (``/root/reference/imagen_pytorch3D.py:
+1188-1737``) with random weights, converts its state dict through
+``diffusioniqt_tpu.utils.torch_convert``, and asserts fp32 forward
+agreement — including the flagship boundary + batch_sample geometry
+(VERDICT round-1 item 3).
+
+Requires ``/root/reference`` and torch; skipped when unavailable.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+torch = pytest.importorskip("torch")
+
+if not os.path.isdir("/root/reference"):
+    pytest.skip("reference checkout unavailable", allow_module_level=True)
+
+from ref_compat import load_reference_module  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from diffusioniqt_tpu.models.unet3d import UNet3D  # noqa: E402
+from diffusioniqt_tpu.ops.volume import from_torch_layout  # noqa: E402
+from diffusioniqt_tpu.utils.torch_convert import (  # noqa: E402
+    convert_reference_checkpoint,
+    convert_iqt_unet_state_dict,
+    reference_subvolume_permutation,
+)
+
+
+@pytest.fixture(scope="module")
+def ref_mod():
+    return load_reference_module("imagen_pytorch3D")
+
+
+def _common_kwargs():
+    return dict(
+        dim=16, num_resnet_blocks=(2, 2), dim_mults=(1, 2), channels=1,
+        init_dim=16, resnet_groups=4, init_cross_embed=False,
+        lowres_cond=True, attend_at_middle=False, use_se_attn=True,
+        deep_feature=True, init_conv_kernel_size=3,
+        pixel_shuffle_upsample=True, final_resnet_block=True,
+        final_conv_kernel_size=1, memory_efficient=False,
+    )
+
+
+def _build_pair(ref_mod, *, img_size, boundary, batch_sample, factor=3):
+    torch.manual_seed(0)
+    ref = ref_mod.Unet(
+        img_size=img_size, attend_at_enc=(False, False),
+        boundary=boundary, batch_sample=batch_sample,
+        batch_sample_factor=factor, **_common_kwargs(),
+    ).eval()
+    ours = UNet3D(
+        img_size=img_size, attend_at_enc=False, boundary=boundary,
+        batch_sample=batch_sample, batch_sample_factor=factor,
+        att_type="linear", dtype=jnp.float32, **_common_kwargs(),
+    )
+    variables = convert_iqt_unet_state_dict(ref.state_dict())
+    return ref, ours, variables
+
+
+def _compare(ref, ours, variables, batch, sub_size, rtol=2e-3, atol=2e-4,
+             batch_sample=False, factor=3):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((batch, 1) + (sub_size,) * 3).astype(np.float32)
+    lr = rng.standard_normal(x.shape).astype(np.float32)
+    t = rng.standard_normal((batch,)).astype(np.float32)
+
+    with torch.no_grad():
+        out_t = ref(
+            torch.tensor(x), torch.tensor(t), torch.tensor(t),
+            lowres_cond_img=torch.tensor(lr),
+        ).numpy()
+
+    if batch_sample:
+        # the reference's sub-volume batch ordering differs from this
+        # repo's canonical row-major one; align the grid positions
+        perm = reference_subvolume_permutation(factor)
+        x, lr, t, out_t = x[perm], lr[perm], t[perm], out_t[perm]
+
+    out_j = ours.apply(
+        variables, from_torch_layout(jnp.asarray(x)), jnp.asarray(t),
+        jnp.asarray(t), lowres_cond_img=from_torch_layout(jnp.asarray(lr)),
+    )
+    out_j = np.asarray(out_j).transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(out_j, out_t, rtol=rtol, atol=atol)
+
+
+def test_forward_parity_plain(ref_mod):
+    """SAME-conv path, no patch geometry (batch of independent volumes)."""
+    ref, ours, variables = _build_pair(
+        ref_mod, img_size=16, boundary=False, batch_sample=False,
+    )
+    _compare(ref, ours, variables, batch=2, sub_size=16)
+
+
+def test_forward_parity_boundary_batch_sample(ref_mod):
+    """Flagship geometry: 27 sub-volumes, boundary halo convs, merged
+    attention layout (attention itself disabled, as in eval_config)."""
+    ref, ours, variables = _build_pair(
+        ref_mod, img_size=24, boundary=True, batch_sample=True,
+    )
+    _compare(ref, ours, variables, batch=27, sub_size=8, batch_sample=True)
+
+
+@pytest.mark.slow
+def test_forward_parity_flagship_geometry(ref_mod):
+    """Full 27x32^3 flagship patch geometry (reduced width for CPU time)."""
+    ref, ours, variables = _build_pair(
+        ref_mod, img_size=96, boundary=True, batch_sample=True,
+    )
+    _compare(ref, ours, variables, batch=27, sub_size=32, batch_sample=True)
+
+
+def test_checkpoint_roundtrip_formats(ref_mod):
+    """convert_reference_checkpoint handles trainer-bundle / model-only /
+    raw-Imagen-prefixed state dicts (reference trainer.py:813-878,
+    imagen_pytorch3D.py:1504-1536, utils.py:15-61)."""
+    ref, ours, variables = _build_pair(
+        ref_mod, img_size=16, boundary=False, batch_sample=False,
+    )
+    sd = ref.state_dict()
+
+    v2 = convert_reference_checkpoint({"model": dict(sd)})
+    v3 = convert_reference_checkpoint({"state_dict": dict(sd)})
+    v4 = convert_reference_checkpoint(
+        {f"unets.1.{k}": v for k, v in sd.items()}, unet_number=2
+    )
+    import jax
+
+    for v in (v2, v3, v4):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            variables, v,
+        )

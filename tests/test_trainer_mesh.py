@@ -3,6 +3,9 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 from diffusioniqt_tpu.data.datasets import FakeIQTDataset
 from diffusioniqt_tpu.parallel.mesh import create_mesh
