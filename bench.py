@@ -32,6 +32,18 @@ def main():
     from diffusioniqt_tpu.diffusion.gaussian import imagen_from_config
     from diffusioniqt_tpu.models.unet3d import NullUnet, iqt_unet_from_config
 
+    # optional: shard the patch batch over an N-device data mesh
+    # (multi-chip serving projection; `python bench.py --mesh 8`)
+    mesh = None
+    if "--mesh" in sys.argv:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from diffusioniqt_tpu.parallel.mesh import create_mesh
+
+        n_mesh = int(sys.argv[sys.argv.index("--mesh") + 1])
+        mesh = create_mesh(("data",), (n_mesh,),
+                           devices=jax.devices()[:n_mesh])
+
     # eval-config flagship (reference config/eval_config.yaml)
     cfg = Config()
     cfg.train.batch_sample = True
@@ -52,6 +64,11 @@ def main():
 
     key = jax.random.PRNGKey(1)
     lowres = jax.random.normal(key, (batch, 32, 32, 32, 1), jnp.float32)
+    if mesh is not None:
+        assert batch % mesh.shape["data"] == 0, (
+            "BENCH_PATCH_BATCH*27 must divide the mesh"
+        )
+        lowres = jax.device_put(lowres, NamedSharding(mesh, P("data")))
 
     def sample_fn(params1, key, lowres):
         return imagen.p_sample_loop(
@@ -116,6 +133,7 @@ def main():
             "volumes_per_hour_240c_overlap32": round(volumes_per_hour, 2),
             "sampling_timesteps": steps,
             "compute_dtype": cfg.train.compute_dtype,
+            "mesh_devices": mesh.shape["data"] if mesh is not None else 1,
         },
     }))
 

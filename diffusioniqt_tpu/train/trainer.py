@@ -517,13 +517,59 @@ class ImagenTrainer:
             ]
         return list(self.params)
 
+    def _sample_group_size(self) -> int:
+        """Sub-volumes per indivisible sampling group (27 when
+        batch_sample, else 1)."""
+        if getattr(self.imagen, "batch_sample", False):
+            unet = self.imagen.unets[-1]
+            return int(getattr(unet, "batch_sample_factor", 3)) ** 3
+        return 1
+
+    def _mesh_sample(self, params, key, batch_size: int, kwargs):
+        """Shard one sampling call's patch batch over the mesh 'data' axis.
+
+        Sampling is embarrassingly parallel over patches (the TPU-native
+        equivalent of running the reference's ``test.py`` loop on N GPUs);
+        the batch is padded by group repetition so it shards evenly, then
+        the padding is sliced off. Numerically identical to single-device
+        sampling (tests/test_sample_mesh.py)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        start = kwargs.get("start_image_or_video", None)
+        data = self.mesh.shape.get("data", 1)
+        group = self._sample_group_size()
+        n_groups = batch_size // group
+        pad_groups = n_groups
+        while (pad_groups * group) % data:
+            pad_groups += 1
+        padded = pad_groups * group
+
+        if start is not None and padded != batch_size:
+            reps = -(-padded // batch_size)
+            start = jnp.concatenate([start] * reps, axis=0)[:padded]
+        b_shard = NamedSharding(self.mesh, P("data"))
+        sub_kwargs = dict(kwargs)
+        if start is not None:
+            sub_kwargs["start_image_or_video"] = jax.device_put(start, b_shard)
+        with self.mesh:
+            out = self.imagen.sample(
+                params, key, batch_size=padded, **sub_kwargs
+            )
+        if padded == batch_size:
+            return out
+        if isinstance(out, (list, tuple)):
+            return [o[:batch_size] for o in out]
+        return out[:batch_size]
+
     def sample(self, *, batch_size: int = 1,
                max_batch_size: Optional[int] = None,
                use_non_ema: bool = False, **kwargs):
         """EMA sampling, chunked by max_batch_size (reference trainer.sample,
         :1083-1097 + ``imagen_sample_in_chunks`` :201-219). Accepts both the
         3D (``return_all_outputs``) and trainer (``return_all_unet_outputs``)
-        kwarg spellings (SURVEY.md §1 API-drift fix)."""
+        kwarg spellings (SURVEY.md §1 API-drift fix). With a mesh, the patch
+        batch is sharded over the 'data' axis (multi-chip full-volume
+        inference — the v5e-8 volumes/hour path, BASELINE.md)."""
         if not self.prepared:
             self.prepare()
         if "return_all_unet_outputs" in kwargs:
@@ -536,6 +582,8 @@ class ImagenTrainer:
 
         start = kwargs.get("start_image_or_video", None)
         if max_batch_size is None or batch_size <= max_batch_size:
+            if self.mesh is not None:
+                return self._mesh_sample(params, key, batch_size, kwargs)
             return self.imagen.sample(
                 params, key, batch_size=batch_size, **kwargs
             )
@@ -549,11 +597,16 @@ class ImagenTrainer:
             if start is not None:
                 sub_kwargs["start_image_or_video"] = start[sl]
             key, sub = jax.random.split(key)
-            outs.append(
-                self.imagen.sample(
-                    params, sub, batch_size=sl.stop - sl.start, **sub_kwargs
+            if self.mesh is not None:
+                outs.append(
+                    self._mesh_sample(params, sub, sl.stop - sl.start, sub_kwargs)
                 )
-            )
+            else:
+                outs.append(
+                    self.imagen.sample(
+                        params, sub, batch_size=sl.stop - sl.start, **sub_kwargs
+                    )
+                )
         if isinstance(outs[0], (list, tuple)):
             return [jnp.concatenate(parts, axis=0) for parts in zip(*outs)]
         return jnp.concatenate(outs, axis=0)

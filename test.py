@@ -22,10 +22,21 @@ from diffusioniqt_tpu.utils.platform import ensure_platform
 ensure_platform()
 
 
-def build_trainer(cfg):
+def build_trainer(cfg, mesh_devices: int = 0):
+    """Build the inference trainer; ``mesh_devices > 0`` fans the patch
+    batch over an N-device data mesh (multi-chip full-volume inference)."""
     from diffusioniqt_tpu.diffusion.gaussian import imagen_from_config
     from diffusioniqt_tpu.models.unet3d import NullUnet, iqt_unet_from_config
     from diffusioniqt_tpu.train.trainer import ImagenTrainer
+
+    mesh = None
+    if mesh_devices:
+        import jax
+
+        from diffusioniqt_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(("data",), (mesh_devices,),
+                           devices=jax.devices()[:mesh_devices])
 
     unet1 = NullUnet()
     print("Unet1 loaded")
@@ -34,7 +45,7 @@ def build_trainer(cfg):
     imagen = imagen_from_config(cfg, (unet1, unet2))
     print("Imagen loaded")
     trainer = ImagenTrainer(
-        configs=cfg, imagen=imagen,
+        configs=cfg, imagen=imagen, mesh=mesh,
         gradient_accumulation_steps=cfg.train.gradient_accumulation_steps,
     )
     return trainer
@@ -116,13 +127,15 @@ def main():
                     help="96^3 patches denoised together per device step")
     ap.add_argument("--fake-data", action="store_true")
     ap.add_argument("--fake-edge", type=int, default=None)
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard the patch batch over an N-device data mesh")
     args = ap.parse_args()
 
     from diffusioniqt_tpu.config import load_config
     from diffusioniqt_tpu.data.datasets import load_affine, load_volume, save_volume
 
     cfg = load_config(args.config)
-    trainer = build_trainer(cfg)
+    trainer = build_trainer(cfg, mesh_devices=args.mesh)
     if args.checkpoint:
         trainer.load(args.checkpoint)
     else:

@@ -59,6 +59,8 @@ def main():
                     help="report slice-wise LPIPS (reference test_all.py:43)")
     ap.add_argument("--lpips-weights", default=None,
                     help="torch VGG16/LPIPS checkpoint for trained features")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard the patch batch over an N-device data mesh")
     args = ap.parse_args()
 
     from diffusioniqt_tpu.config import load_config
@@ -66,7 +68,7 @@ def main():
     from test import build_trainer, infer_volume
 
     cfg = load_config(args.config)
-    trainer = build_trainer(cfg)
+    trainer = build_trainer(cfg, mesh_devices=args.mesh)
     if args.checkpoint:
         trainer.load(args.checkpoint)
     else:
