@@ -374,6 +374,7 @@ class ImagenTrainer:
 
         if (
             self.checkpoint_path is not None
+            and self.checkpoint_every
             and self.steps[index] % self.checkpoint_every == 0
         ):
             self.save_to_checkpoint_folder()
@@ -628,9 +629,34 @@ class ImagenTrainer:
             tree[f"unet{i}"] = entry
         return tree
 
+    @staticmethod
+    def _is_url(path: str) -> bool:
+        """fsspec-style URL (gs://, s3://, memory://, ...) — the reference
+        routes these through fsspec (trainer.py:99-110, 274-280)."""
+        import re
+
+        return bool(re.match(r"^[a-z0-9]+://", path))
+
     def save(self, path: str):
-        """Save a full trainer bundle (model + optimizer + EMA + steps)."""
+        """Save a full trainer bundle (model + optimizer + EMA + steps).
+
+        Local paths use orbax; fsspec URLs (gs://, memory://, ...) are
+        written as one msgpack blob via fsspec, matching the reference's
+        cloud-checkpoint capability (trainer.py:274-280)."""
         assert self.prepared, "nothing to save — trainer not prepared"
+        if self._is_url(path):
+            import fsspec
+            from flax import serialization
+
+            fs, _ = fsspec.core.url_to_fs(path)
+            parent = path.rsplit("/", 1)[0]
+            try:
+                fs.makedirs(fs._strip_protocol(parent), exist_ok=True)
+            except Exception:
+                pass  # bucket-less filesystems (memory://) need no mkdir
+            with fsspec.open(path, "wb") as fh:
+                fh.write(serialization.to_bytes(self._state_tree()))
+            return
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(path)
@@ -640,6 +666,30 @@ class ImagenTrainer:
             ckptr.save(path, self._state_tree())
 
     def load(self, path: str, strict: bool = True, noop_if_not_exist: bool = False):
+        if self._is_url(path):
+            import fsspec
+            from flax import serialization
+
+            fs, fpath = fsspec.core.url_to_fs(path)
+            if not fs.exists(fpath):
+                if noop_if_not_exist:
+                    return
+                raise FileNotFoundError(path)
+            if not self.prepared:
+                self.prepare()
+            with fsspec.open(path, "rb") as fh:
+                data = fh.read()
+            try:
+                restored = serialization.from_bytes(self._state_tree(), data)
+            except Exception:
+                if strict:
+                    raise
+                from diffusioniqt_tpu.utils.checkpoints import restore_parts
+
+                raw = serialization.msgpack_restore(data)
+                restored = restore_parts(self._state_tree(), raw)
+            self._restore_state(restored)
+            return
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(path)
@@ -662,6 +712,9 @@ class ImagenTrainer:
             with ocp.PyTreeCheckpointer() as ckptr:
                 raw = ckptr.restore(path)
             restored = restore_parts(self._state_tree(), raw)
+        self._restore_state(restored)
+
+    def _restore_state(self, restored) -> None:
         self.steps = [int(s) for s in np.asarray(restored["steps"])]
         for i in range(self.num_unets):
             entry = restored[f"unet{i}"]
@@ -672,32 +725,56 @@ class ImagenTrainer:
                     params=entry["ema"]["params"], step=entry["ema"]["step"]
                 )
 
-    # rolling checkpoint folder (reference :767-809)
+    # rolling checkpoint folder (reference :767-809); local dirs or fsspec URLs
     @property
     def all_checkpoints_sorted(self) -> List[str]:
         if self.checkpoint_path is None:
             return []
-        entries = [
-            os.path.join(self.checkpoint_path, d)
-            for d in os.listdir(self.checkpoint_path)
-            if d.startswith("checkpoint.")
-        ]
+        if self._is_url(self.checkpoint_path):
+            import fsspec
+
+            fs, fpath = fsspec.core.url_to_fs(self.checkpoint_path)
+            scheme = self.checkpoint_path.split("://", 1)[0]
+            entries = [
+                f"{scheme}://{p}"
+                for p in fs.ls(fpath, detail=False)
+                if p.rsplit("/", 1)[-1].startswith("checkpoint.")
+            ] if fs.exists(fpath) else []
+        else:
+            entries = [
+                os.path.join(self.checkpoint_path, d)
+                for d in os.listdir(self.checkpoint_path)
+                if d.startswith("checkpoint.")
+            ]
         return sorted(
             entries, key=lambda x: int(x.split(".")[-1]), reverse=True
         )
 
     def save_to_checkpoint_folder(self):
+        is_url = self._is_url(self.checkpoint_path)
         total_steps = sum(self.steps)
-        path = os.path.join(self.checkpoint_path, f"checkpoint.{total_steps}")
+        sep = "/" if is_url else os.sep
+        path = f"{self.checkpoint_path.rstrip(sep)}{sep}checkpoint.{total_steps}"
         self.save(path)
         if self.max_checkpoints_keep > 0:
             for stale in self.all_checkpoints_sorted[self.max_checkpoints_keep:]:
-                shutil.rmtree(stale, ignore_errors=True)
+                if self._is_url(stale):
+                    import fsspec
+
+                    fs, fpath = fsspec.core.url_to_fs(stale)
+                    try:
+                        fs.rm(fpath, recursive=True)
+                    except Exception:
+                        pass
+                else:
+                    shutil.rmtree(stale, ignore_errors=True)
 
     def load_from_checkpoint_folder(self, last_total_steps: int = -1):
         if last_total_steps != -1:
+            sep = "/" if self._is_url(self.checkpoint_path) else os.sep
             self.load(
-                os.path.join(self.checkpoint_path, f"checkpoint.{last_total_steps}")
+                f"{self.checkpoint_path.rstrip(sep)}{sep}"
+                f"checkpoint.{last_total_steps}"
             )
             return
         ckpts = self.all_checkpoints_sorted
