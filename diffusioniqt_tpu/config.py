@@ -120,7 +120,11 @@ class TrainConfig:
     cosine_decay_max_steps: Optional[int] = None
     seed: int = 42
     compute_dtype: str = "bfloat16"  # 'bfloat16' | 'float32'
-    use_pallas: bool = True  # use Pallas kernels on TPU when available
+    # Pallas fused-block kernel (ops.pallas.fused_block). Off by default:
+    # measured on v5e, the im2col-in-VMEM kernel runs the flagship block
+    # unit at ~68 ms vs ~24.6 ms for the XLA chain (XLA's conv lowering is
+    # ~2.8x faster than the Pallas im2col core at 216x32^3 c64) — see PERF.md
+    use_pallas: bool = False
 
     @property
     def patch_size(self) -> int:

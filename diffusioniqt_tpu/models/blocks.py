@@ -142,12 +142,29 @@ def subvol_group_norm(x: jnp.ndarray, scale: jnp.ndarray, factor: int,
         return out.astype(orig_dtype)
     f = factor
     s = S // f
-    xv = x.astype(jnp.float32).reshape(b, f, s, f, s, f, s, groups, cg)
-    mean = xv.mean(axis=(2, 4, 6, 8), keepdims=True)
-    var = jnp.square(xv - mean).mean(axis=(2, 4, 6, 8), keepdims=True)
-    xv = (xv - mean) * jax.lax.rsqrt(var + eps)
-    out = xv.reshape(b, S, S, S, c) * scale.astype(jnp.float32)
-    return out.astype(orig_dtype)
+    # per-sub-volume stats without any transposing/badly-tiled reshape of
+    # the big activation: (b, f, s, f, s, f, s, c) is a layout-free view,
+    # both reductions fuse into it, and the (groups, cg) split happens only
+    # on the tiny (b, f, f, f, c) reduced arrays. The normalize itself is a
+    # single fused multiply-add in the compute dtype (stats in fp32).
+    xv = x.reshape(b, f, s, f, s, f, s, c)
+    mean_c = jnp.mean(xv, axis=(2, 4, 6), dtype=jnp.float32)  # (b,f,f,f,c)
+    sq_c = jnp.mean(jnp.square(xv.astype(jnp.float32)), axis=(2, 4, 6))
+    mean = mean_c.reshape(b, f, f, f, groups, cg).mean(-1)    # (b,f,f,f,g)
+    sq = sq_c.reshape(b, f, f, f, groups, cg).mean(-1)
+    var = jnp.maximum(sq - jnp.square(mean), 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    mean = jnp.repeat(mean, cg, axis=-1)                      # (b,f,f,f,c)
+    rstd = jnp.repeat(rstd, cg, axis=-1)
+    a = rstd * scale.astype(jnp.float32)
+    bias_f = -mean * a
+    # broadcast on the 8-D view; the multiply-add runs in the compute dtype
+    # (stats/coefficients are fp32) so no full-resolution fp32 temp exists —
+    # a and bias are O(1) z-score coefficients, safely representable
+    av = a.astype(orig_dtype)[:, :, None, :, None, :, None, :]
+    bv = bias_f.astype(orig_dtype)[:, :, None, :, None, :, None, :]
+    out = xv * av + bv
+    return out.reshape(b, S, S, S, c)
 
 
 class Block(nn.Module):
@@ -156,11 +173,17 @@ class Block(nn.Module):
 
     ``boundary``: the reference implements boundary convs as
     merge→zero-pad→overlapping-halo-unfold→VALID conv per block
-    (:37-46, :551-566). Here the halo is built by a 26-neighbour shell
-    exchange (ops.volume.halo_exchange) — identical values, ~3x faster than
-    re-gathering the merged volume — followed by the same VALID conv. Data
-    stays in the split (B, s, s, s, C) layout, where GroupNorm/SE are the
-    standard fast per-batch ops.
+    (:37-46, :551-566). Two equivalent TPU formulations here:
+
+      * split layout (``merged=False``): a 26-neighbour halo shell exchange
+        (ops.volume.halo_exchange) followed by a VALID conv — identical
+        values, ~3x faster than re-gathering the merged volume;
+      * merged layout (``merged=True``): the input IS the merged volume, and
+        [per-sub-volume halo + VALID conv] collapses to ONE SAME conv over
+        it (the zero outer border and real inner neighbours come for free).
+        No halo traffic at all, and XLA sees one large conv. GroupNorm keeps
+        the reference's per-sub-volume statistics via the factor-blocked
+        reshape view (subvol_group_norm).
     """
 
     dim_out: int
@@ -168,22 +191,31 @@ class Block(nn.Module):
     norm: bool = True
     boundary: bool = False
     factor: int = 3
+    merged: bool = False
+    use_pallas: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, scale_shift=None) -> jnp.ndarray:
+        if (
+            self.use_pallas and self.boundary and not self.merged
+            and self.norm and jax.default_backend() == "tpu"
+        ):
+            return self._fused_pallas(x, scale_shift)
         if self.norm:
             g = self.param("norm_scale", nn.initializers.ones,
                            (x.shape[-1],), jnp.float32)
             bias = self.param("norm_bias", nn.initializers.zeros,
                               (x.shape[-1],), jnp.float32)
-            x = subvol_group_norm(x, g, 1, self.groups)
+            x = subvol_group_norm(
+                x, g, self.factor if self.merged else 1, self.groups
+            )
             x = x + bias.astype(x.dtype)
         if scale_shift is not None:
             scale, shift = scale_shift
             x = x * (scale + 1) + shift
         x = mish(x)
-        if self.boundary:
+        if self.boundary and not self.merged:
             x = halo_exchange(x, factor=self.factor)
             padding = "VALID"
         else:
@@ -192,6 +224,33 @@ class Block(nn.Module):
             self.dim_out, kernel_size=(3, 3, 3), padding=padding,
             dtype=self.dtype,
         )(x)
+
+    def _fused_pallas(self, x: jnp.ndarray, scale_shift) -> jnp.ndarray:
+        """One Pallas kernel for [GN -> scale-shift -> Mish -> halo -> conv]
+        (ops.pallas.fused_block). The conv weights live in the same nn.Conv
+        child ("Conv_0") as the jnp path, so parameters are interchangeable;
+        the dummy call below only materialises them (XLA dead-code-eliminates
+        its compute)."""
+        from diffusioniqt_tpu.ops.pallas.fused_block import (
+            fused_boundary_block,
+        )
+
+        g = self.param("norm_scale", nn.initializers.ones,
+                       (x.shape[-1],), jnp.float32)
+        bias = self.param("norm_bias", nn.initializers.zeros,
+                          (x.shape[-1],), jnp.float32)
+        conv = nn.Conv(self.dim_out, kernel_size=(3, 3, 3), padding="VALID",
+                       dtype=self.dtype, name="Conv_0")
+        conv(jnp.zeros((1, 3, 3, 3, x.shape[-1]), x.dtype))
+        kernel = conv.variables["params"]["kernel"]
+        conv_bias = conv.variables["params"]["bias"]
+
+        compute_dtype = self.dtype or x.dtype
+        out = fused_boundary_block(
+            x, g, bias, scale_shift, kernel,
+            self.groups, self.factor, compute_dtype,
+        )
+        return out + conv_bias.astype(out.dtype)
 
 
 def _expand_subvol(t: jnp.ndarray, spatial: int) -> jnp.ndarray:
@@ -220,6 +279,8 @@ class ResnetBlock(nn.Module):
     use_se: bool = False
     boundary: bool = False
     factor: int = 3
+    merged: bool = False
+    use_pallas: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -233,15 +294,19 @@ class ResnetBlock(nn.Module):
 
         h = Block(
             self.dim_out, groups=self.groups, boundary=self.boundary,
-            factor=self.factor, dtype=self.dtype,
+            factor=self.factor, merged=self.merged,
+            use_pallas=self.use_pallas, dtype=self.dtype,
         )(x)
         h = Block(
             self.dim_out, groups=self.groups, boundary=self.boundary,
-            factor=self.factor, dtype=self.dtype,
+            factor=self.factor, merged=self.merged,
+            use_pallas=self.use_pallas, dtype=self.dtype,
         )(h, scale_shift=scale_shift)
 
         if self.use_se:
-            h = SE3D(reduction=16, dtype=self.dtype)(h)
+            h = SE3D(reduction=16,
+                     factor=self.factor if self.merged else 1,
+                     dtype=self.dtype)(h)
 
         if x.shape[-1] != self.dim_out:
             x = nn.Conv(self.dim_out, kernel_size=(1, 1, 1), dtype=self.dtype)(x)

@@ -107,6 +107,18 @@ class UNet3D(nn.Module):
     batch_sample: bool = True
     batch_sample_factor: int = 3
     deep_feature: bool = True
+    # merged-boundary execution: when boundary+batch_sample, run the whole
+    # forward on the merged volume — [per-sub-volume halo + VALID conv]
+    # collapses to one SAME conv (no halo traffic; XLA sees large convs).
+    # Requires the diffusion time to be shared within each sub-volume group,
+    # which batch_sample guarantees (reference imagen_pytorch3D.py:2428-2432).
+    # Off by default: measured on v5e, XLA's conv throughput at 8x96^3 is
+    # ~69 TF vs ~110 TF at 216x32^3 (batch-heavy small-spatial wins), so the
+    # split layout + halo exchange is faster at flagship scale.
+    merged_boundary: bool = False
+    # fused [GN -> scale-shift -> Mish -> halo -> conv] Pallas kernel on the
+    # split boundary path (ops.pallas.fused_block); TPU-only, jnp fallback
+    use_pallas: bool = False
 
     dtype: Optional[Dtype] = None
 
@@ -144,14 +156,19 @@ class UNet3D(nn.Module):
             dtype=self.dtype, name=name,
         )
 
+    @property
+    def _merged_mode(self) -> bool:
+        return self.merged_boundary and self.boundary and self.batch_sample
+
     def _attend_merged(self, x, attn, deterministic):
         """Merge 27 sub-volumes -> full volume, attend (global receptive
-        field), split back (reference imagen_pytorch3D.py:1610-1622)."""
+        field), split back (reference imagen_pytorch3D.py:1610-1622). In
+        merged-boundary mode the data is already the merged volume."""
         res = x
-        if self.batch_sample:
+        if self.batch_sample and not self._merged_mode:
             x = subvolumes_to_volume(x, factor=self.batch_sample_factor)
         x = attn(x, deterministic=deterministic)
-        if self.batch_sample:
+        if self.batch_sample and not self._merged_mode:
             x = volume_to_subvolumes(x, factor=self.batch_sample_factor)
         return x + res
 
@@ -198,7 +215,13 @@ class UNet3D(nn.Module):
             x = jnp.concatenate([cond_images, x], axis=-1)
 
         # --- init conv (reference :1286-1291, :1587-1589) -----------------
-        if self.boundary:
+        merged = self._merged_mode
+        if merged:
+            # merged-boundary execution: fold the sub-volume axis into space
+            # once; every [halo + VALID conv] below becomes a SAME conv over
+            # the merged volume (identical values, zero halo traffic)
+            x = subvolumes_to_volume(x, factor=self.batch_sample_factor)
+        elif self.boundary:
             # reference: boundary_pad before init conv (:1587-1588)
             from diffusioniqt_tpu.ops.volume import halo_exchange
 
@@ -213,11 +236,15 @@ class UNet3D(nn.Module):
             k = self.init_conv_kernel_size
             x = nn.Conv(
                 init_dim, kernel_size=(k, k, k),
-                padding="VALID" if self.boundary else "SAME",
+                padding="SAME" if (merged or not self.boundary) else "VALID",
                 dtype=self.dtype, name="init_conv",
             )(x)
 
         # --- time conditioning (reference :1305-1316, :1597-1599) ---------
+        if merged:
+            # batch_sample shares one diffusion time across each group's
+            # sub-volumes (reference :2428-2432) — one embedding per group
+            time = time[:: self.batch_sample_factor ** 3]
         t = LearnedSinusoidalPosEmb(self.learned_sinu_pos_emb_dim,
                                     name="sinu_pos_emb")(time)
         t = nn.Dense(time_cond_dim, dtype=self.dtype, name="time_hidden")(t)
@@ -238,7 +265,7 @@ class UNet3D(nn.Module):
         patch_size = self.init_patch_size
 
         rb = dict(boundary=self.boundary, factor=self.batch_sample_factor,
-                  dtype=self.dtype)
+                  merged=merged, use_pallas=self.use_pallas, dtype=self.dtype)
 
         # --- down path (reference :1363-1414, :1604-1629) -----------------
         hiddens = []
@@ -348,6 +375,8 @@ class UNet3D(nn.Module):
             padding="SAME" if k > 1 else "VALID",
             dtype=jnp.float32, name="final_conv",
         )(x.astype(jnp.float32))
+        if merged:
+            out = volume_to_subvolumes(out, factor=self.batch_sample_factor)
         return out
 
 
@@ -430,5 +459,6 @@ def iqt_unet_from_config(cfg) -> UNet3D:
         batch_sample=train.batch_sample,
         batch_sample_factor=train.batch_sample_factor,
         deep_feature=train.deep_feature,
+        use_pallas=train.use_pallas,
         dtype=jnp.bfloat16 if train.compute_dtype == "bfloat16" else jnp.float32,
     )

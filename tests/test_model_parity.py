@@ -52,7 +52,8 @@ def _common_kwargs():
     )
 
 
-def _build_pair(ref_mod, *, img_size, boundary, batch_sample, factor=3):
+def _build_pair(ref_mod, *, img_size, boundary, batch_sample, factor=3,
+                merged_boundary=True):
     torch.manual_seed(0)
     ref = ref_mod.Unet(
         img_size=img_size, attend_at_enc=(False, False),
@@ -62,6 +63,7 @@ def _build_pair(ref_mod, *, img_size, boundary, batch_sample, factor=3):
     ours = UNet3D(
         img_size=img_size, attend_at_enc=False, boundary=boundary,
         batch_sample=batch_sample, batch_sample_factor=factor,
+        merged_boundary=merged_boundary,
         att_type="linear", dtype=jnp.float32, **_common_kwargs(),
     )
     variables = convert_iqt_unet_state_dict(ref.state_dict())
@@ -74,6 +76,10 @@ def _compare(ref, ours, variables, batch, sub_size, rtol=2e-3, atol=2e-4,
     x = rng.standard_normal((batch, 1) + (sub_size,) * 3).astype(np.float32)
     lr = rng.standard_normal(x.shape).astype(np.float32)
     t = rng.standard_normal((batch,)).astype(np.float32)
+    if batch_sample:
+        # batch_sample shares one diffusion time per sub-volume group
+        # (reference imagen_pytorch3D.py:2428-2432)
+        t = np.repeat(t[:batch // factor ** 3], factor ** 3)
 
     with torch.no_grad():
         out_t = ref(
@@ -105,11 +111,16 @@ def test_forward_parity_plain(ref_mod):
 
 def test_forward_parity_boundary_batch_sample(ref_mod):
     """Flagship geometry: 27 sub-volumes, boundary halo convs, merged
-    attention layout (attention itself disabled, as in eval_config)."""
-    ref, ours, variables = _build_pair(
-        ref_mod, img_size=24, boundary=True, batch_sample=True,
-    )
-    _compare(ref, ours, variables, batch=27, sub_size=8, batch_sample=True)
+    attention layout (attention itself disabled, as in eval_config).
+    Covers BOTH execution paths: split-layout halo exchange and the
+    merged-volume SAME-conv formulation."""
+    for merged in (False, True):
+        ref, ours, variables = _build_pair(
+            ref_mod, img_size=24, boundary=True, batch_sample=True,
+            merged_boundary=merged,
+        )
+        _compare(ref, ours, variables, batch=27, sub_size=8,
+                 batch_sample=True)
 
 
 @pytest.mark.slow

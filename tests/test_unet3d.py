@@ -149,3 +149,35 @@ def test_iqt_unet_from_config_builds():
     x = jnp.zeros((27, 8, 8, 8, 1))
     _, out = _init_and_apply(model, x, lowres=x)
     assert out.shape == x.shape
+
+
+def test_merged_boundary_equals_split_path():
+    """[halo + VALID conv] per sub-volume == one SAME conv over the merged
+    volume: the merged-boundary execution path must match the split-layout
+    halo-exchange path with identical parameters (group-uniform time, as
+    batch_sample guarantees)."""
+    import dataclasses
+
+    common = dict(
+        dim=8, img_size=12, dim_mults=(1, 2), num_resnet_blocks=1,
+        channels=1, init_dim=8, resnet_groups=4, init_cross_embed=False,
+        att_type="linear", attend_at_middle=False,
+        attend_at_enc=(False, False), use_se_attn=True, boundary=True,
+        batch_sample=True, batch_sample_factor=3, deep_feature=True,
+        lowres_cond=True, dtype=jnp.float32,
+    )
+    split = UNet3D(merged_boundary=False, **common)
+    merged = dataclasses.replace(split, merged_boundary=True)
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (27, 4, 4, 4, 1))
+    lr = jax.random.normal(jax.random.PRNGKey(1), (27, 4, 4, 4, 1))
+    t = jnp.full((27,), 0.3)
+
+    params = split.init(jax.random.PRNGKey(2), x, t, t, lowres_cond_img=lr)
+    out_split = split.apply(params, x, t, t, lowres_cond_img=lr)
+    out_merged = merged.apply(params, x, t, t, lowres_cond_img=lr)
+    assert out_merged.shape == out_split.shape
+    np.testing.assert_allclose(
+        np.asarray(out_merged), np.asarray(out_split), rtol=2e-4, atol=2e-5
+    )
