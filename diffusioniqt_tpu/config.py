@@ -75,6 +75,7 @@ class TrainConfig:
     lpips: bool = False
     lpips_weights: str = ""  # optional torch VGG16/LPIPS checkpoint path
     medlpips: bool = False
+    medlpips_weights: str = ""  # optional MedicalNet resnet_10 .pth path
     boundary: bool = False
     att_type: str = "linear"  # 'linear' | 'softmax' | 'vit'
     att_mid: bool = False

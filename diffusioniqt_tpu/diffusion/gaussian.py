@@ -610,7 +610,19 @@ def imagen_from_config(cfg, unets) -> Imagen:
     slice-wise VGG-LPIPS auxiliary loss into ``p_losses`` (reference
     imagen_pytorch3D.py:1775-1778, 2372-2385)."""
     lpips_fn = None
-    if getattr(cfg.train, "lpips", False):
+    if getattr(cfg.train, "medlpips", False):
+        # 3D MedicalNet perceptual loss (reference percept_loss.py:104-126;
+        # note the reference's own wiring dead-ends at
+        # imagen_pytorch3D.py:1779-1783 — here it actually feeds p_losses)
+        from diffusioniqt_tpu.metrics.medicalnet import (
+            MedicalNetPerceptual,
+            medicalnet_perceptual_from_checkpoint,
+        )
+
+        weights = getattr(cfg.train, "medlpips_weights", "") or None
+        lpips_fn = (medicalnet_perceptual_from_checkpoint(weights)
+                    if weights else MedicalNetPerceptual())
+    elif getattr(cfg.train, "lpips", False):
         from diffusioniqt_tpu.metrics.lpips import make_lpips_fn
 
         lpips_fn = make_lpips_fn(
