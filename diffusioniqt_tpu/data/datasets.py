@@ -38,33 +38,40 @@ except Exception:  # pragma: no cover
 
 
 def load_volume(path: str) -> np.ndarray:
-    """Load a 3D volume from .nii/.nii.gz (nibabel) or .npy."""
+    """Load a 3D volume from .nii/.nii.gz or .npy.
+
+    NIfTI goes through nibabel when installed, else the self-contained
+    NIfTI-1 reader (data/nifti.py) — the pipeline has no hard IO deps."""
     if path.endswith(".npy"):
         return np.load(path).astype(np.float32)
-    if _nib is None:
-        raise ImportError(
-            "nibabel is required for NIfTI IO but is not installed; "
-            "use .npy volumes or install nibabel"
-        )
-    return _nib.load(path).get_fdata().astype(np.float32)
+    if _nib is not None:
+        return _nib.load(path).get_fdata().astype(np.float32)
+    from diffusioniqt_tpu.data import nifti
+
+    return nifti.read(path)[0]
 
 
 def load_affine(path: str):
     if path.endswith(".npy"):
         return np.eye(4, dtype=np.float32)
-    if _nib is None:
-        raise ImportError("nibabel is required for NIfTI IO")
-    return _nib.load(path).affine
+    if _nib is not None:
+        return _nib.load(path).affine
+    from diffusioniqt_tpu.data import nifti
+
+    return nifti.read(path)[1]
 
 
 def save_volume(path: str, data: np.ndarray, affine=None):
     if path.endswith(".npy"):
         np.save(path, data)
         return
-    if _nib is None:
-        raise ImportError("nibabel is required for NIfTI IO")
-    img = _nib.Nifti1Image(data, np.eye(4) if affine is None else affine)
-    _nib.save(img, path)
+    if _nib is not None:
+        img = _nib.Nifti1Image(data, np.eye(4) if affine is None else affine)
+        _nib.save(img, path)
+        return
+    from diffusioniqt_tpu.data import nifti
+
+    nifti.write(path, data, affine)
 
 
 class SupervisedIQT:
