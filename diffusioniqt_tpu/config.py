@@ -121,6 +121,15 @@ class TrainConfig:
     cosine_decay_max_steps: Optional[int] = None
     seed: int = 42
     compute_dtype: str = "bfloat16"  # 'bfloat16' | 'float32'
+    # EDM (ElucidatedImagen) variant for the SR stage — a capability the
+    # reference ships but never wires into its entry scripts
+    elucidated: bool = False
+    edm_num_sample_steps: int = 32
+    edm_sigma_min: float = 0.002
+    edm_sigma_max: float = 80.0
+    edm_sigma_data: float = 0.5
+    edm_rho: float = 7.0
+    edm_s_churn: float = 80.0
     # Pallas fused-block kernel (ops.pallas.fused_block). Off by default:
     # measured on v5e, the im2col-in-VMEM kernel runs the flagship block
     # unit at ~68 ms vs ~24.6 ms for the XLA chain (XLA's conv lowering is
@@ -190,7 +199,7 @@ class Config:
 _BOOL_FIELDS = {
     "pretrain", "batch_sample", "lpips", "medlpips", "boundary", "att_mid",
     "att_localvit", "skip_scale", "efficient", "dynamic_threshold", "use_se",
-    "deep_feature", "use_pallas",
+    "deep_feature", "use_pallas", "elucidated",
 }
 
 

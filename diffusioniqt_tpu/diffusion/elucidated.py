@@ -551,3 +551,28 @@ class ElucidatedImagen:
         losses = ((denoised - images) ** 2).reshape(batch_size, -1).mean(axis=-1)
         losses = losses * hp.loss_weight(sigmas)
         return losses.mean()
+
+
+def elucidated_imagen_from_config(cfg, unets) -> ElucidatedImagen:
+    """Build the EDM wrapper from the shared YAML config (framework-native
+    ``Train.elucidated`` switch). The reference ships ElucidatedImagen
+    (``/root/reference/elucidated_imagen.py``) but never wires it into its
+    entry scripts; here the same train/test/test_all entries drive either
+    sampler. EDM hyperparameters default to the reference's Hparams
+    (elucidated_imagen.py:96-106)."""
+    return ElucidatedImagen(
+        unets,
+        image_sizes=(cfg.train.patch_size_sub, cfg.train.patch_size_sub),
+        channels=cfg.train.channels,
+        cond_drop_prob=0.0,
+        auto_normalize_img=False,
+        dynamic_thresholding=cfg.train.dynamic_threshold,
+        norm=cfg.data.norm,
+        min_bound=cfg.data.min_bound,
+        num_sample_steps=cfg.train.edm_num_sample_steps,
+        sigma_min=cfg.train.edm_sigma_min,
+        sigma_max=cfg.train.edm_sigma_max,
+        sigma_data=cfg.train.edm_sigma_data,
+        rho=cfg.train.edm_rho,
+        S_churn=cfg.train.edm_s_churn,
+    )

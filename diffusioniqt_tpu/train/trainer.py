@@ -520,9 +520,11 @@ class ImagenTrainer:
 
     def _sample_group_size(self) -> int:
         """Sub-volumes per indivisible sampling group (27 when
-        batch_sample, else 1)."""
-        if getattr(self.imagen, "batch_sample", False):
-            unet = self.imagen.unets[-1]
+        batch_sample, else 1). EDM wrappers carry no batch_sample flag, so
+        also honour the flagship unet's own geometry."""
+        unet = self.imagen.unets[-1]
+        if (getattr(self.imagen, "batch_sample", False)
+                or getattr(unet, "batch_sample", False)):
             return int(getattr(unet, "batch_sample_factor", 3)) ** 3
         return 1
 

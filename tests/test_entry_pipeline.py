@@ -52,3 +52,29 @@ def test_evaluate_metrics_from_test_all():
         border=4,
     )
     assert m["psnr"] > worse["psnr"]
+
+
+def test_infer_volume_pipeline_edm():
+    """Same sliding-window entry path with the EDM sampler selected via
+    Train.elucidated (the reference ships ElucidatedImagen but never wires
+    it into its scripts; here one config switch drives it end-to-end)."""
+    from diffusioniqt_tpu.config import load_config
+    from test import build_trainer, infer_volume
+
+    cfg = load_config(
+        os.path.join(os.path.dirname(__file__), "..", "config",
+                     "smoke_config.yaml")
+    )
+    cfg.train.elucidated = True
+    cfg.train.edm_num_sample_steps = 4
+    trainer = build_trainer(cfg)
+    assert trainer.is_elucidated
+    trainer.prepare()
+
+    rng = np.random.default_rng(0)
+    lowres = np.abs(rng.standard_normal((16, 16, 16))).astype(np.float32) \
+        * cfg.data.std
+    pred = infer_volume(cfg, trainer, lowres, stitch_mode="trim",
+                        verbose=False, patch_batch=2)
+    assert pred.shape == lowres.shape
+    assert np.isfinite(pred).all()

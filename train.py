@@ -81,8 +81,16 @@ def main():
     print("Unet1 loaded")
     unet2 = iqt_unet_from_config(cfg)
     print("Unet2 loaded")
-    imagen = imagen_from_config(cfg, (unet1, unet2))
-    print("Imagen loaded")
+    if cfg.train.elucidated:
+        from diffusioniqt_tpu.diffusion.elucidated import (
+            elucidated_imagen_from_config,
+        )
+
+        imagen = elucidated_imagen_from_config(cfg, (unet1, unet2))
+        print("ElucidatedImagen (EDM) loaded")
+    else:
+        imagen = imagen_from_config(cfg, (unet1, unet2))
+        print("Imagen loaded")
 
     trainer = ImagenTrainer(
         configs=cfg,
