@@ -160,6 +160,45 @@ def _halo_exchange_roll(x: jnp.ndarray, factor: int = 3) -> jnp.ndarray:
     return xp
 
 
+def _halo_exchange_sweep(x: jnp.ndarray, factor: int = 3) -> jnp.ndarray:
+    """Axis-sweep halo: pad+exchange one spatial axis at a time (6 face
+    moves total). Edges and corners need no dedicated transfers — sweep k
+    carries the halo planes already received in sweeps < k (a face plane of
+    the extended tensor includes the sender's own halo voxels, which hold
+    the diagonal neighbours' values, or zero exactly where the merged
+    volume's zero padding applies)."""
+    n, s = x.shape[0], x.shape[1]
+    f = factor
+    b_idx = jnp.arange(n)
+    rem = b_idx % (f ** 3)
+    grid_pos = (rem // (f * f), (rem // f) % f, rem % f)
+    strides = (f * f, f, 1)
+
+    # one pad of all three axes (one full copy), then six in-place face
+    # updates; sweep k's source planes span the full padded extent of the
+    # axes already swept, so previously received halo voxels propagate
+    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
+    for axis in range(3):
+        ax = axis + 1
+        for d in (-1, 1):
+            # my side-d halo plane := neighbour (grid+d)'s far interior
+            # plane of the padded tensor (indices 1 / s in padded coords)
+            src_start = [0] * 5
+            src_start[ax] = s if d == -1 else 1
+            sizes = list(xp.shape)
+            sizes[ax] = 1
+            face = jax.lax.dynamic_slice(xp, src_start, sizes)
+            face = jnp.roll(face, -d * strides[axis], axis=0)
+            valid = (grid_pos[axis] + d >= 0) & (grid_pos[axis] + d < f)
+            face = jnp.where(
+                valid.reshape((n,) + (1,) * (x.ndim - 1)), face, 0
+            )
+            dst = [0] * 5
+            dst[ax] = 0 if d == -1 else s + 1
+            xp = jax.lax.dynamic_update_slice(xp, face, dst)
+    return xp
+
+
 def halo_exchange(x: jnp.ndarray, factor: int = 3) -> jnp.ndarray:
     """Fast halo construction: zero-pad each sub-volume by 1 and fill the 26
     neighbour regions (6 faces, 12 edges, 8 corners) from adjacent
@@ -167,13 +206,11 @@ def halo_exchange(x: jnp.ndarray, factor: int = 3) -> jnp.ndarray:
 
     Equivalent to :func:`boundary_halo` (the reference's merge→pad→unfold,
     imagen_pytorch3D.py:37-46) but far faster on TPU: the exchange only
-    moves the thin halo shells instead of re-gathering the whole volume.
-    Dispatches between a grid-view DUS variant (small batch) and a flat-5D
-    roll variant whose cost is batch-flat (large batch).
+    moves the thin halo shells instead of re-gathering the whole volume,
+    and the axis-sweep formulation needs only 6 face moves (edges/corners
+    ride along with the sweeps).
     """
-    if x.shape[0] >= 4 * factor ** 3:
-        return _halo_exchange_roll(x, factor)
-    return _halo_exchange_dus(x, factor)
+    return _halo_exchange_sweep(x, factor)
 
 
 def _halo_exchange_dus(x: jnp.ndarray, factor: int = 3) -> jnp.ndarray:
