@@ -57,6 +57,7 @@ def test_t5_hash_encoder():
     assert get_encoded_dim("google/t5-v1_1-base") == 768
 
 
+@pytest.mark.slow
 def test_imagen_checkpoint_roundtrip(tmp_path):
     from diffusioniqt_tpu.utils.checkpoints import (
         load_imagen_checkpoint,
@@ -92,6 +93,7 @@ def test_restore_parts_partial():
     np.testing.assert_array_equal(np.asarray(out["b"]), 0.0)
 
 
+@pytest.mark.slow
 def test_perceptual_loss_orders_similarity():
     from diffusioniqt_tpu.metrics.perceptual import MedPerceptualLoss
 
@@ -126,6 +128,7 @@ def test_phase_timer_and_debug():
         assert_tree_finite({"x": jnp.array([jnp.nan])})
 
 
+@pytest.mark.slow
 def test_graft_entry_compiles():
     import sys
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

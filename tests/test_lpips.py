@@ -84,6 +84,7 @@ def test_lin_head_converter():
     assert float(model(a, a * 0.5)) > 0
 
 
+@pytest.mark.slow
 def test_lpips_training_loss_wiring():
     """Imagen built from a Train.lpips=True config carries an lpips_fn, and
     the auxiliary term changes the loss value (reference

@@ -23,6 +23,7 @@ def test_unet2d_shapes():
     assert out.dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_unet2d_in_imagen_2d_mode():
     """The 2D slice model driven by the same diffusion wrappers."""
     from diffusioniqt_tpu.diffusion.gaussian import Imagen
@@ -47,6 +48,7 @@ def test_unet2d_in_imagen_2d_mode():
     assert out.shape == (2, 16, 16, 1)
 
 
+@pytest.mark.slow
 def test_edm_trainer_path():
     from diffusioniqt_tpu.data.datasets import FakeIQTDataset
     from diffusioniqt_tpu.diffusion.elucidated import ElucidatedImagen

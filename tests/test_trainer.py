@@ -140,6 +140,7 @@ def test_checkpoint_roundtrip(trained, tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_rolling_checkpoint_folder(tmp_path):
     cfg = tiny_cfg()
     imagen = tiny_imagen(cfg)
@@ -163,6 +164,7 @@ def test_rolling_checkpoint_folder(tmp_path):
     assert trainer2.steps[1] == 4
 
 
+@pytest.mark.slow
 def test_chunked_sample_matches_manual_chunks(trained):
     """Chunked sampling (batch 8, max 2) must equal the concatenation of
     per-chunk sample() calls following the same key schedule — i.e. the

@@ -46,6 +46,7 @@ def test_unet_shape_batch_sample_boundary():
     assert out.shape == (27, 8, 8, 8, 1)
 
 
+@pytest.mark.slow
 def test_unet_deep_feature_mid_block():
     model = small_unet(deep_feature=True, attend_at_middle=False)
     x = jnp.zeros((1, 16, 16, 16, 1))
@@ -53,6 +54,7 @@ def test_unet_deep_feature_mid_block():
     assert out.shape == x.shape
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("att_type", ["linear", "softmax"])
 def test_unet_encoder_attention(att_type):
     model = small_unet(
@@ -65,6 +67,7 @@ def test_unet_encoder_attention(att_type):
     assert out.shape == (27, 8, 8, 8, 1)
 
 
+@pytest.mark.slow
 def test_unet_vit_attention():
     model = small_unet(
         att_type="vit", attend_at_middle=True, deep_feature=True,
@@ -76,6 +79,7 @@ def test_unet_vit_attention():
     assert out.shape == x.shape
 
 
+@pytest.mark.slow
 def test_unet_memory_efficient():
     model = small_unet(memory_efficient=True)
     x = jnp.zeros((1, 16, 16, 16, 1))
@@ -83,6 +87,7 @@ def test_unet_memory_efficient():
     assert out.shape == x.shape
 
 
+@pytest.mark.slow
 def test_unet_three_levels_32():
     """The flagship config shape: dim 64 (1,2,4) at 32^3 — scaled down dims."""
     model = small_unet(dim=8, dim_mults=(1, 2, 4), num_resnet_blocks=(2, 2, 2),
@@ -136,6 +141,7 @@ def test_trilinear_upsample_and_combiner():
     )
 
 
+@pytest.mark.slow
 def test_iqt_unet_from_config_builds():
     cfg = Config()
     cfg.train.dim = 8
@@ -151,6 +157,7 @@ def test_iqt_unet_from_config_builds():
     assert out.shape == x.shape
 
 
+@pytest.mark.slow
 def test_merged_boundary_equals_split_path():
     """[halo + VALID conv] per sub-volume == one SAME conv over the merged
     volume: the merged-boundary execution path must match the split-layout

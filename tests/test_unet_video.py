@@ -57,6 +57,7 @@ def _run(model, x, **kwargs):
     return out
 
 
+@pytest.mark.slow
 def test_video_unet_text_conditioned():
     model = video_unet()
     x = jnp.zeros((2, 4, 16, 16, 1))
@@ -66,6 +67,7 @@ def test_video_unet_text_conditioned():
     assert out.shape == x.shape
 
 
+@pytest.mark.slow
 def test_video_unet_ignore_time_image_mode():
     model = video_unet(temporal_strides=(1, 1))
     x = jnp.zeros((1, 3, 16, 16, 1))  # 3 frames not divisible by anything
@@ -74,6 +76,7 @@ def test_video_unet_ignore_time_image_mode():
     assert out.shape == x.shape
 
 
+@pytest.mark.slow
 def test_video_unet_lowres_cond():
     model = video_unet(lowres_cond=True, cond_on_text=False,
                        layer_cross_attns=(False, False))

@@ -4,6 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from diffusioniqt_tpu.ops.volume import (
     boundary_halo,
@@ -17,6 +18,7 @@ from diffusioniqt_tpu.ops.volume import (
 )
 
 
+@pytest.mark.slow
 def test_halo_exchange_matches_boundary_halo():
     """Both fast halo variants must equal the reference merge->pad->unfold
     halo (boundary_pad, imagen_pytorch3D.py:37-46)."""
