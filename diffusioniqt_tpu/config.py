@@ -130,6 +130,8 @@ class TrainConfig:
     edm_sigma_data: float = 0.5
     edm_rho: float = 7.0
     edm_s_churn: float = 80.0
+    # rematerialize ResnetBlocks on backward (activation memory lever)
+    remat: bool = False
     # Pallas fused-block kernel (ops.pallas.fused_block). Off by default:
     # measured on v5e, the im2col-in-VMEM kernel runs the flagship block
     # unit at ~68 ms vs ~24.6 ms for the XLA chain (XLA's conv lowering is
@@ -199,7 +201,7 @@ class Config:
 _BOOL_FIELDS = {
     "pretrain", "batch_sample", "lpips", "medlpips", "boundary", "att_mid",
     "att_localvit", "skip_scale", "efficient", "dynamic_threshold", "use_se",
-    "deep_feature", "use_pallas", "elucidated",
+    "deep_feature", "use_pallas", "elucidated", "remat",
 }
 
 

@@ -119,6 +119,10 @@ class UNet3D(nn.Module):
     # fused [GN -> scale-shift -> Mish -> halo -> conv] Pallas kernel on the
     # split boundary path (ops.pallas.fused_block); TPU-only, jnp fallback
     use_pallas: bool = False
+    # rematerialize ResnetBlocks on the backward pass (jax.checkpoint) —
+    # trades ~30% more FLOPs for activation memory, the standard TPU lever
+    # for training models larger than HBM allows
+    remat: bool = False
 
     dtype: Optional[Dtype] = None
 
@@ -266,6 +270,7 @@ class UNet3D(nn.Module):
 
         rb = dict(boundary=self.boundary, factor=self.batch_sample_factor,
                   merged=merged, use_pallas=self.use_pallas, dtype=self.dtype)
+        resnet_block = nn.remat(ResnetBlock) if self.remat else ResnetBlock
 
         # --- down path (reference :1363-1414, :1604-1629) -----------------
         hiddens = []
@@ -280,7 +285,7 @@ class UNet3D(nn.Module):
                 current_dim = dim_out
                 cur_size //= 2
 
-            x = ResnetBlock(
+            x = resnet_block(
                 current_dim, time_cond_dim=time_cond_dim, groups=groups[ind],
                 use_se=self.use_se_attn, name=f"down{ind}_init", **rb,
             )(x, t)
@@ -294,7 +299,7 @@ class UNet3D(nn.Module):
                 x = self._attend_merged(x, attn, deterministic)
 
             for bi in range(num_blocks[ind]):
-                x = ResnetBlock(
+                x = resnet_block(
                     current_dim, time_cond_dim=time_cond_dim,
                     groups=groups[ind], use_se=self.use_se_attn,
                     name=f"down{ind}_block{bi}", **rb,
@@ -327,7 +332,7 @@ class UNet3D(nn.Module):
                     patch_size=patch_size,
                 )
                 x = self._attend_merged(x, attn, deterministic)
-            x = ResnetBlock(
+            x = resnet_block(
                 mid_dim, time_cond_dim=time_cond_dim, groups=groups[-1],
                 name="mid_block", **rb,
             )(x, t)
@@ -350,14 +355,14 @@ class UNet3D(nn.Module):
             if not is_last:
                 skip = hiddens.pop() * skip_scale
                 x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
-            x = ResnetBlock(
+            x = resnet_block(
                 dim_out_lvl, time_cond_dim=time_cond_dim,
                 groups=rev_groups[ind], use_se=self.use_se_attn,
                 name=f"up{ind}_init", **rb,
             )(x, t)
 
             for bi in range(rev_blocks[ind]):
-                x = ResnetBlock(
+                x = resnet_block(
                     dim_out_lvl, time_cond_dim=time_cond_dim,
                     groups=rev_groups[ind], use_se=self.use_se_attn,
                     name=f"up{ind}_block{bi}", **rb,
@@ -365,7 +370,7 @@ class UNet3D(nn.Module):
 
         # --- final (reference :1473-1477, :1676-1682) ---------------------
         if self.final_resnet_block:
-            x = ResnetBlock(
+            x = resnet_block(
                 self.dim, time_cond_dim=time_cond_dim, groups=groups[0],
                 use_se=self.use_se_attn, name="final_res_block", **rb,
             )(x, t)
@@ -460,5 +465,6 @@ def iqt_unet_from_config(cfg) -> UNet3D:
         batch_sample_factor=train.batch_sample_factor,
         deep_feature=train.deep_feature,
         use_pallas=train.use_pallas,
+        remat=train.remat,
         dtype=jnp.bfloat16 if train.compute_dtype == "bfloat16" else jnp.float32,
     )

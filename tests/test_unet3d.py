@@ -188,3 +188,37 @@ def test_merged_boundary_equals_split_path():
     np.testing.assert_allclose(
         np.asarray(out_merged), np.asarray(out_split), rtol=2e-4, atol=2e-5
     )
+
+
+def test_remat_identical_forward_and_grads():
+    """remat=True (jax.checkpoint around ResnetBlocks) must not change the
+    math — identical forward and parameter gradients, only the backward's
+    memory/recompute schedule differs."""
+    import dataclasses
+
+    common = dict(
+        dim=8, img_size=8, dim_mults=(1, 2), num_resnet_blocks=1,
+        channels=1, init_dim=8, resnet_groups=4, init_cross_embed=False,
+        att_type="linear", attend_at_middle=False,
+        attend_at_enc=(False, False), use_se_attn=True, boundary=False,
+        batch_sample=False, deep_feature=False, lowres_cond=True,
+        dtype=jnp.float32,
+    )
+    plain = UNet3D(remat=False, **common)
+    remat = dataclasses.replace(plain, remat=True)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 8, 1))
+    lr = x * 0.5
+    t = jnp.full((2,), 0.3)
+    params = plain.init(jax.random.PRNGKey(1), x, t, t, lowres_cond_img=lr)
+
+    def loss(model, p):
+        return jnp.sum(model.apply(p, x, t, t, lowres_cond_img=lr) ** 2)
+
+    l_plain, g_plain = jax.value_and_grad(lambda p: loss(plain, p))(params)
+    l_remat, g_remat = jax.value_and_grad(lambda p: loss(remat, p))(params)
+    np.testing.assert_allclose(float(l_remat), float(l_plain), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_plain),
+                    jax.tree_util.tree_leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
