@@ -96,12 +96,26 @@ def main():
     out = fn(params[1], key, lowres)
     sync(out)
 
+    # optional: dump a jax.profiler trace of the steady-state iterations
+    # (`python bench.py --profile [dir]`; view with xprof/tensorboard)
+    profile_dir = None
+    if "--profile" in sys.argv:
+        idx = sys.argv.index("--profile")
+        profile_dir = (sys.argv[idx + 1] if len(sys.argv) > idx + 1
+                       and not sys.argv[idx + 1].startswith("-")
+                       else "/tmp/diffusioniqt_trace")
+        jax.profiler.start_trace(profile_dir)
+
     iters = 5
     t0 = time.perf_counter()
     for i in range(iters):
         out = fn(params[1], jax.random.fold_in(key, i), lowres)
         sync(out)
     elapsed = time.perf_counter() - t0
+
+    if profile_dir is not None:
+        jax.profiler.stop_trace()
+        print(f"# trace written to {profile_dir}", file=sys.stderr)
 
     steps = cfg.train.timesteps
     steps_per_sec = steps * iters / elapsed

@@ -155,3 +155,57 @@ def test_checkpoint_roundtrip_formats(ref_mod):
             ),
             variables, v,
         )
+
+
+@pytest.mark.slow
+def test_converted_checkpoint_drives_sampling(ref_mod, tmp_path):
+    """End-to-end interop: a reference trainer-bundle .pt (torch.save) is
+    converted, installed into an ImagenTrainer, and drives sampling
+    (the examples/convert_reference_checkpoint.py flow)."""
+    from diffusioniqt_tpu.diffusion.gaussian import Imagen
+    from diffusioniqt_tpu.models.unet3d import NullUnet
+    from diffusioniqt_tpu.train.trainer import ImagenTrainer
+    from diffusioniqt_tpu.utils.torch_convert import load_torch_checkpoint
+    from tests.test_trainer import tiny_cfg
+
+    torch.manual_seed(1)
+    # note: dim must be >= the SE reduction (16) — the reference constructs
+    # a 0-width SE bottleneck below that (nn.Linear(dim, dim//16))
+    ref = ref_mod.Unet(
+        img_size=16, attend_at_enc=(False, False), boundary=False,
+        batch_sample=False, **_common_kwargs(),
+    ).eval()
+    bundle = {"model": {f"unets.1.{k}": v for k, v in ref.state_dict().items()}}
+    path = tmp_path / "ref_bundle.pt"
+    torch.save(bundle, str(path))
+
+    variables = load_torch_checkpoint(str(path), unet_number=2)
+
+    unet = UNet3D(
+        img_size=16, attend_at_enc=False, boundary=False,
+        batch_sample=False, att_type="linear", dtype=jnp.float32,
+        **_common_kwargs(),
+    )
+    cfg = tiny_cfg()
+    cfg.train.patch_size_sub = 16
+    imagen = Imagen(
+        unets=[NullUnet(), unet], image_sizes=(16, 16), channels=1,
+        timesteps=4, pred_objectives="x_start", dynamic_thresholding=False,
+        p2_loss_weight_gamma=0.0, auto_normalize_img=False,
+        cond_drop_prob=0.0, min_bound=cfg.data.min_bound, norm="z-score",
+    )
+    trainer = ImagenTrainer(configs=cfg, imagen=imagen,
+                            gradient_accumulation_steps=1)
+    trainer.prepare()
+    trainer.params[1] = variables
+    if trainer.use_ema and trainer.ema_states[1] is not None:
+        trainer.ema_states[1] = trainer.ema_states[1].replace(
+            params=variables)
+
+    import jax
+
+    start = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 16, 1))
+    out = trainer.sample(batch_size=2, start_image_or_video=start,
+                         start_at_unet_number=2, key=jax.random.PRNGKey(1))
+    assert out.shape == (2, 16, 16, 16, 1)
+    assert bool(jnp.all(jnp.isfinite(out)))
