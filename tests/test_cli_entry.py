@@ -85,9 +85,12 @@ def test_cli_config_verb_writes_loadable_json(tmp_path):
 
 
 def test_train_entry_fake_data(tmp_path):
+    # run from a fresh cwd: train.py (like the reference) refuses to reuse
+    # an existing results/<project> directory
     stdout = _run(
-        ["train.py", "--config", "config/smoke_config.yaml", "--fake-data",
-         "--steps", "3", "--eval-every", "2"],
-        cwd=ROOT,
+        [os.path.join(ROOT, "train.py"),
+         "--config", os.path.join(ROOT, "config", "smoke_config.yaml"),
+         "--fake-data", "--steps", "3", "--eval-every", "2"],
+        cwd=str(tmp_path),
     )
     assert "step" in stdout.lower() or "loss" in stdout.lower()
