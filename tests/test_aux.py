@@ -137,3 +137,42 @@ def test_graft_entry_compiles():
     fn, args = entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (27, 32, 32, 32, 1)
+
+
+def test_multihost_helpers_single_host():
+    """Multi-host helpers (parallel/multihost.py) in single-host mode: init
+    no-ops, this process is main, and the local batch slice spans the whole
+    batch (reference accelerator predicates, trainer.py:434-448)."""
+    from diffusioniqt_tpu.parallel.multihost import (
+        initialize_multihost,
+        is_main_process,
+        local_batch_slice,
+    )
+
+    initialize_multihost()  # must not raise or call jax.distributed
+    assert is_main_process()
+    assert local_batch_slice(8) == slice(0, 8)
+
+
+def test_multihost_env_parsing(monkeypatch):
+    """Env-driven config reaches jax.distributed.initialize with the right
+    values (stubbed out — no real cluster in this image)."""
+    import diffusioniqt_tpu.parallel.multihost as mh
+
+    calls = {}
+
+    class _FakeDistributed:
+        @staticmethod
+        def initialize(coordinator_address=None, num_processes=None,
+                       process_id=None):
+            calls.update(addr=coordinator_address, n=num_processes,
+                         pid=process_id)
+
+    import jax
+
+    monkeypatch.setattr(jax, "distributed", _FakeDistributed)
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "2")
+    mh.initialize_multihost()
+    assert calls == {"addr": "10.0.0.1:1234", "n": 4, "pid": 2}
