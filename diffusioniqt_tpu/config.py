@@ -132,6 +132,10 @@ class TrainConfig:
     edm_s_churn: float = 80.0
     # rematerialize ResnetBlocks on backward (activation memory lever)
     remat: bool = False
+    # exp-weighted non-uniform sampling timesteps (the reference's
+    # commented-out capability, imagen_pytorch3D.py:268-288 + :2098)
+    non_uniform_sampling: bool = False
+    non_uniform_gamma: float = 10.0
     # Pallas fused-block kernel (ops.pallas.fused_block). Off by default:
     # measured on v5e, the im2col-in-VMEM kernel runs the flagship block
     # unit at ~68 ms vs ~24.6 ms for the XLA chain (XLA's conv lowering is
@@ -202,6 +206,7 @@ _BOOL_FIELDS = {
     "pretrain", "batch_sample", "lpips", "medlpips", "boundary", "att_mid",
     "att_localvit", "skip_scale", "efficient", "dynamic_threshold", "use_se",
     "deep_feature", "use_pallas", "elucidated", "remat",
+    "non_uniform_sampling",
 }
 
 

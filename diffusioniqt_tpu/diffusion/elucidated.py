@@ -476,8 +476,12 @@ class ElucidatedImagen:
         text_mask=None,
         deterministic: bool = True,
         rngs=None,
+        return_outputs: bool = False,
     ):
-        """EDM training loss (reference :712-882). Returns the scalar loss.
+        """EDM training loss (reference :712-882). Returns the scalar loss,
+        or ``(loss, denoised, noised_images, lowres_noisy)`` with
+        ``return_outputs`` (the Gaussian ``p_losses`` return convention, for
+        qualitative validation dumps).
 
         When ``lowres_img`` is None and the unet is lowres-conditioned, the
         conditioning image is built by down-up-resizing ``images`` through the
@@ -550,7 +554,10 @@ class ElucidatedImagen:
 
         losses = ((denoised - images) ** 2).reshape(batch_size, -1).mean(axis=-1)
         losses = losses * hp.loss_weight(sigmas)
-        return losses.mean()
+        loss = losses.mean()
+        if return_outputs:
+            return loss, denoised, noised_images, lowres_cond_img_noisy
+        return loss
 
 
 def elucidated_imagen_from_config(cfg, unets) -> ElucidatedImagen:

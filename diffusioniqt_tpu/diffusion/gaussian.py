@@ -92,6 +92,8 @@ class Imagen:
         batch_sample: bool = False,
         lpips_fn=None,
         spatial_dims: int = 3,
+        non_uniform_times: bool = False,
+        non_uniform_gamma: float = 10.0,
     ):
         unets = list(unets) if isinstance(unets, (list, tuple)) else [unets]
         num_unets = len(unets)
@@ -103,6 +105,10 @@ class Imagen:
         self.only_train_unet_number = only_train_unet_number
         self.lpips_fn = lpips_fn
         self.spatial_dims = spatial_dims  # 3 = volumes, 2 = slices
+        # exp-weighted non-uniform sampling times (the reference carries the
+        # capability, commented out at imagen_pytorch3D.py:2098)
+        self.non_uniform_times = non_uniform_times
+        self.non_uniform_gamma = non_uniform_gamma
 
         if loss_type not in _LOSSES:
             raise NotImplementedError(f"unknown loss type {loss_type}")
@@ -313,9 +319,16 @@ class Imagen:
         if exists(init_images):
             img = img + init_images
 
-        t_cur, t_next = noise_scheduler.get_sampling_timesteps(batch)
+        if self.non_uniform_times:
+            # exp-weighted schedule (core.schedules, reference :268-288):
+            # host-side numpy draw, static at trace time like the uniform grid
+            t_cur, t_next = noise_scheduler.get_sampling_timesteps_non_uniform(
+                batch, gamma=self.non_uniform_gamma
+            )
+        else:
+            t_cur, t_next = noise_scheduler.get_sampling_timesteps(batch)
         # skip-steps subsampling (reference :2103-2107) — static reshaping
-        if skip_steps is not None and skip_steps > 1:
+        if skip_steps is not None and skip_steps > 1 and not self.non_uniform_times:
             idx = list(range(0, noise_scheduler.timesteps, skip_steps))
             if idx[-1] != noise_scheduler.timesteps - 1:
                 idx = idx + [noise_scheduler.timesteps - 1]
@@ -642,4 +655,6 @@ def imagen_from_config(cfg, unets) -> Imagen:
         cond_drop_prob=0.0,
         norm=cfg.data.norm,
         batch_sample=cfg.train.batch_sample,
+        non_uniform_times=getattr(cfg.train, "non_uniform_sampling", False),
+        non_uniform_gamma=getattr(cfg.train, "non_uniform_gamma", 10.0),
     )

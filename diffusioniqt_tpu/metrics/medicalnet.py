@@ -14,9 +14,10 @@ this image, so this module provides:
   * :func:`load_medicalnet_state_dict` — converts the torch checkpoint
     (handles the ``module.`` DataParallel prefix the reference strips,
     percept_loss.py:115-118) into flax params, folding BN running stats;
-  * :class:`MedicalNetPerceptual` — the loss with the reference's exact
-    block-tap semantics (optional 2x trilinear resize, feature taps
-    {relu1, layer1, layer2}, Gram taps {conv1, bn1}).
+  * :class:`MedicalNetPerceptual` — the loss with the reference's wired
+    call semantics (optional 2x trilinear resize, feature taps
+    {relu1, layer1, layer2}; Gram taps opt-in — the reference passes
+    ``style_layers=[]``, percept_loss.py:122-126).
 
 With no checkpoint, fixed-seed random weights give a documented
 random-feature perceptual proxy (as metrics.perceptual).
@@ -153,16 +154,24 @@ def load_medicalnet_state_dict(sd: Dict[str, Any],
 class MedicalNetPerceptual:
     """The reference loss (percept_loss.py:78-103): optional 2x trilinear
     resize, L1 feature taps at blocks {2, 4, 5} (relu1, layer1, layer2) and
-    L1 Gram taps at blocks {0, 1} (conv1, bn1). Input (B, X, Y, Z, 1)."""
+    optional L1 Gram taps. Input (B, X, Y, Z, 1).
+
+    ``style_layers`` defaults to ``()`` because the reference's wired call
+    path (``MedPercept.forward`` -> ``MedPerceptualLoss``,
+    percept_loss.py:122-126) passes ``style_layers=[]`` — its loss carries
+    no Gram terms. Pass ``style_layers=(0, 1)`` for the conv1/bn1 Gram taps
+    that ``MedPerceptualLoss`` *supports* but never receives."""
 
     def __init__(self, params=None, resize: bool = True, seed: int = 0,
-                 input_size: int = 32, num_layers: int = 2):
+                 input_size: int = 32, num_layers: int = 2,
+                 style_layers: tuple = ()):
         self.model = MedicalNetResNet10(num_layers=num_layers)
         if params is None:
             x = jnp.zeros((1, input_size, input_size, input_size, 1))
             params = self.model.init(jax.random.PRNGKey(seed), x)
         self.params = params
         self.resize = resize
+        self.style_layers = tuple(style_layers)
 
     @staticmethod
     def _gram(feat: jnp.ndarray) -> jnp.ndarray:
@@ -183,7 +192,7 @@ class MedicalNetPerceptual:
         loss = jnp.zeros(())
         for i in (2, 4, 5):  # relu1, layer1, layer2
             loss = loss + jnp.mean(jnp.abs(f_pred[i] - f_tgt[i]))
-        for i in (0, 1):  # conv1, bn1 Gram
+        for i in self.style_layers:  # e.g. (0, 1) = conv1, bn1 Gram
             loss = loss + jnp.mean(
                 jnp.abs(self._gram(f_pred[i]) - self._gram(f_tgt[i]))
             )

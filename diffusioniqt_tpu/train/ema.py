@@ -19,7 +19,7 @@ import jax.numpy as jnp
 @flax.struct.dataclass
 class EMAState:
     params: Any
-    step: jnp.ndarray  # int32 scalar — total update() calls seen
+    step: jnp.ndarray  # int32 scalar — trainer optimizer steps seen
 
     @classmethod
     def create(cls, params) -> "EMAState":
@@ -49,14 +49,24 @@ def ema_decay_schedule(
 def ema_update(
     state: EMAState,
     new_params,
+    step=None,
     beta: float = 0.9999,
     update_after_step: int = 100,
     inv_gamma: float = 1.0,
     power: float = 2.0 / 3.0,
 ) -> EMAState:
-    """One EMA update (call every ``update_every`` optimiser steps)."""
+    """One EMA update (call every ``update_every`` optimiser steps).
+
+    ``step`` is the trainer's optimizer-step count. ema-pytorch's internal
+    counter advances on *every* trainer update (the reference calls
+    ``EMA.update()`` each step and the wrapper gates the moving-average
+    application internally, ``/root/reference/trainer.py:361-362,1062``),
+    so the warm-up ramp must be driven by trainer steps, not by how many
+    gated EMA applications have happened. Falls back to counting calls when
+    ``step`` is omitted (legacy behaviour)."""
+    step = state.step + 1 if step is None else jnp.asarray(step, jnp.int32)
     decay = ema_decay_schedule(
-        state.step, beta=beta, update_after_step=update_after_step,
+        step, beta=beta, update_after_step=update_after_step,
         inv_gamma=inv_gamma, power=power,
     )
     new_ema = jax.tree_util.tree_map(
@@ -64,4 +74,4 @@ def ema_update(
         state.params,
         new_params,
     )
-    return EMAState(params=new_ema, step=state.step + 1)
+    return EMAState(params=new_ema, step=step)

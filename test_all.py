@@ -105,8 +105,17 @@ def main():
             LPIPS, lpips_from_torch_checkpoint,
         )
 
-        lpips_model = (lpips_from_torch_checkpoint(args.lpips_weights)
-                       if args.lpips_weights else LPIPS())
+        if args.lpips_weights:
+            lpips_model = lpips_from_torch_checkpoint(args.lpips_weights)
+            lpips_label = "LPIPS"
+        else:
+            # no trained VGG in-image: fixed-seed random features are a
+            # perceptual *proxy*, not comparable to published LPIPS numbers
+            print("WARNING: no --lpips-weights given; reporting "
+                  "LPIPS(random-features), a proxy not comparable to "
+                  "trained-VGG LPIPS values")
+            lpips_model = LPIPS()
+            lpips_label = "LPIPS(random-features)"
 
     msssims, psnrs, lpipss, times = [], [], [], []
     border = min(32, (subjects[0][1].shape[0] - 1) // 3) if subjects else 32
@@ -147,7 +156,8 @@ def main():
     print(f"MS-SSIM: {np.mean(msssims):.4f} +/- {np.std(msssims):.4f}")
     print(f"PSNR:    {np.mean(psnrs):.3f} +/- {np.std(psnrs):.3f}")
     if lpipss:
-        print(f"LPIPS:   {np.mean(lpipss):.4f} +/- {np.std(lpipss):.4f}")
+        print(f"{lpips_label}:   "
+              f"{np.mean(lpipss):.4f} +/- {np.std(lpipss):.4f}")
     print(f"Avg sampling time: {np.mean(times):.2f}s")
 
 
