@@ -353,18 +353,38 @@ class PixelShuffleUpsample(nn.Module):
 
 class DeconvUpsample(nn.Module):
     """Transposed-conv 2x upsample + Mish (reference ``Deconv3D``,
-    imagen_pytorch3D.py:441-457)."""
+    imagen_pytorch3D.py:441-457).
+
+    torch semantics ConvTranspose3d(k=3, s=2, p=1, output_padding=1)
+    expressed as the exactly-equivalent dilated correlation:
+    lhs_dilation=2, padding (k-1-p, k-1-p+op) = (1, 2) per axis. (flax's
+    ``nn.ConvTranspose`` with SAME padding picks a different output
+    alignment and does not flip kernels, so it cannot load reference
+    weights bit-faithfully — verified empirically.)"""
 
     dim_out: int
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.ConvTranspose(
-            self.dim_out, kernel_size=(3, 3, 3), strides=(2, 2, 2),
-            padding="SAME", dtype=self.dtype,
-        )(x)
-        return mish(x)
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(batch_axis=(), in_axis=-2,
+                                         out_axis=-1),
+            (3, 3, 3, c_in, self.dim_out), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.dim_out,),
+                          jnp.float32)
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), kernel.astype(dtype),
+            window_strides=(1, 1, 1), padding=[(1, 2)] * 3,
+            lhs_dilation=(2, 2, 2),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        y = y + bias.astype(dtype)
+        return mish(y)
 
 
 class Downsample(nn.Module):

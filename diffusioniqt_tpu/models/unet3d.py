@@ -164,17 +164,23 @@ class UNet3D(nn.Module):
     def _merged_mode(self) -> bool:
         return self.merged_boundary and self.boundary and self.batch_sample
 
-    def _attend_merged(self, x, attn, deterministic):
+    def _attend_merged(self, x, attn, deterministic, residual=True):
         """Merge 27 sub-volumes -> full volume, attend (global receptive
         field), split back (reference imagen_pytorch3D.py:1610-1622). In
-        merged-boundary mode the data is already the merged volume."""
+        merged-boundary mode the data is already the merged volume.
+
+        ``residual=False`` for the middle slot: the reference adds the
+        outer residual only around encoder attention (``x += res``,
+        :1622); its mid path assigns ``res = x`` but never adds it back
+        (:1636-1642 — the transformer block's internal residuals are the
+        only ones there)."""
         res = x
         if self.batch_sample and not self._merged_mode:
             x = subvolumes_to_volume(x, factor=self.batch_sample_factor)
         x = attn(x, deterministic=deterministic)
         if self.batch_sample and not self._merged_mode:
             x = volume_to_subvolumes(x, factor=self.batch_sample_factor)
-        return x + res
+        return x + res if residual else x
 
     # ------------------------------------------------------------------
     @nn.compact
@@ -331,7 +337,8 @@ class UNet3D(nn.Module):
                     heads=self.attend_at_middle_heads, img_size=cur_size,
                     patch_size=patch_size,
                 )
-                x = self._attend_merged(x, attn, deterministic)
+                x = self._attend_merged(x, attn, deterministic,
+                                        residual=False)
             x = resnet_block(
                 mid_dim, time_cond_dim=time_cond_dim, groups=groups[-1],
                 name="mid_block", **rb,

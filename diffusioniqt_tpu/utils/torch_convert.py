@@ -34,9 +34,12 @@ Structural map (torch module path -> flax param collection name):
 (reference ``norm_cond`` is an unused LayerNorm on the text path and is
 dropped.)
 
-Attention stacks (LinearAttention / SoftMax / ViT3D) are not yet mapped —
-the flagship IQT eval configuration runs with attention disabled
-(``att_mid: False``, reference config/eval_config.yaml).
+Attention slots map as:
+  downs.{i}.2 / mid_attn    -> down{i}_attn / mid_attn, with the three
+  reference families (LinearAttention :926-1016, SoftMaxAttention
+  :1018-1106, ViT3D :871-910) converted by ``_attn_module``; Deconv3D
+  upsamples (:441-457) convert via spatial kernel flip (torch transposed
+  convs correlate with flipped kernels relative to lax.conv_transpose).
 """
 
 from __future__ import annotations
@@ -101,16 +104,165 @@ def _resnet_block(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
     return out
 
 
+def _chan_ln(sd: Dict[str, Any], key: str) -> Dict[str, Any]:
+    """reference ``ChanLayerNorm`` (g of shape (C,1,1,1), :361-382) ->
+    flax ``ChanLayerNorm`` {g: (C,)}."""
+    return {"g": jnp.asarray(_np(sd[f"{key}.g"]).reshape(-1))}
+
+
+def _layer_norm(sd: Dict[str, Any], key: str) -> Dict[str, Any]:
+    """torch nn.LayerNorm -> flax nn.LayerNorm {scale, bias}."""
+    return {
+        "scale": jnp.asarray(_np(sd[f"{key}.weight"])),
+        "bias": jnp.asarray(_np(sd[f"{key}.bias"])),
+    }
+
+
+def _dsconv(sd: Dict[str, Any], key: str) -> Dict[str, Any]:
+    """reference ``depthwise_separable_conv3d`` (:858-869) ->
+    flax ``DepthwiseSeparableConv`` {Conv_0: depthwise, Conv_1: pointwise}."""
+    return {
+        "Conv_0": _conv(sd, f"{key}.depthwise"),
+        "Conv_1": _conv(sd, f"{key}.pointwise"),
+    }
+
+
+def _deconv_upsample(sd: Dict[str, Any], key: str) -> Dict[str, Any]:
+    """reference ``Deconv3D`` ConvTranspose3d(k=3, s=2, p=1, op=1)
+    (:441-457) -> flax ``DeconvUpsample``/ConvTranspose.
+
+    torch's transposed conv correlates with *flipped* kernels relative to
+    ``lax.conv_transpose(transpose_kernel=False)``, and its weight layout is
+    (in, out, k, k, k): flip the spatial axes and permute to
+    (k, k, k, in, out)."""
+    w = _np(sd[f"{key}.weight"])
+    kernel = w[:, :, ::-1, ::-1, ::-1].transpose(2, 3, 4, 0, 1).copy()
+    out = {"kernel": jnp.asarray(kernel)}
+    if f"{key}.bias" in sd:
+        out["bias"] = jnp.asarray(_np(sd[f"{key}.bias"]))
+    return out
+
+
+def _attention(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
+    """reference ``LinearAttention``/``SoftMaxAttention`` (identical state
+    dict layouts, :926-1106) -> flax LinearAttention/SoftMaxAttention.
+
+    Head layouts agree (torch 'b (h c) x y z' and flax reshape(..., h, d)
+    are both head-major), so conv weights copy through; the unused text
+    ``to_context`` path is dropped."""
+    out: Dict[str, Any] = {}
+    if f"{prefix}.patch_embed.norm.g" in sd:
+        out["Patchify_0"] = {
+            "ChanLayerNorm_0": _chan_ln(sd, f"{prefix}.patch_embed.norm"),
+            "DepthwiseSeparableConv_0": _dsconv(
+                sd, f"{prefix}.patch_embed.projection"),
+        }
+        out["PatchReconstruct_0"] = {
+            "DepthwiseSeparableConv_0": _dsconv(sd, f"{prefix}.reconstruct.1"),
+            "ChanLayerNorm_0": _chan_ln(sd, f"{prefix}.reconstruct.2"),
+        }
+    out["ChanLayerNorm_0"] = _chan_ln(sd, f"{prefix}.norm")
+    for i, proj in enumerate(("to_q", "to_k", "to_v")):
+        out[f"_QKVConv_{i}"] = {
+            "Conv_0": _conv(sd, f"{prefix}.{proj}.1"),
+            "Conv_1": _conv(sd, f"{prefix}.{proj}.2"),
+        }
+    out["Conv_0"] = _conv(sd, f"{prefix}.to_out.0")
+    out["ChanLayerNorm_1"] = _chan_ln(sd, f"{prefix}.to_out.1")
+    return out
+
+
+def _chan_feed_forward(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
+    """reference ``ChanFeedForward`` Sequential (:1108-1116)."""
+    return {
+        "ChanLayerNorm_0": _chan_ln(sd, f"{prefix}.0"),
+        "Conv_0": _conv(sd, f"{prefix}.1"),
+        "ChanLayerNorm_1": _chan_ln(sd, f"{prefix}.3"),
+        "Conv_1": _conv(sd, f"{prefix}.4"),
+    }
+
+
+def _feed_forward_block(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
+    """reference ViT ``FeedForwardBlock`` (:774-809), local (conv) or plain
+    (linear) variant, read through the ``net.`` registration."""
+    if f"{prefix}.net.0.1.weight" in sd:  # LocalViT conv feed-forward
+        return {
+            "Conv_0": _conv(sd, f"{prefix}.net.0.1"),
+            "DepthwiseSeparableConv_0": _dsconv(sd, f"{prefix}.net.1.0"),
+            "Conv_1": _conv(sd, f"{prefix}.net.2.0"),
+        }
+    return {
+        "Dense_0": _dense(sd, f"{prefix}.net.0"),
+        "Dense_1": _dense(sd, f"{prefix}.net.3"),
+    }
+
+
+def _vit3d(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
+    """reference ``ViT3D`` (:871-910; encoder :723-838) -> flax ViT3D.
+
+    The qkv Linear packs channels as (h, d, qkv) on both sides, so Dense
+    kernels transpose straight through."""
+    out: Dict[str, Any] = {
+        "DepthwiseSeparableConv_0": _dsconv(
+            sd, f"{prefix}.patch_embedding.projection.0"),
+        "positions": jnp.asarray(
+            _np(sd[f"{prefix}.patch_embedding.positions"])),
+    }
+    d = 0
+    while f"{prefix}.transformer_encoder.layers.{d}.block.0.fn.0.weight" in sd:
+        p = f"{prefix}.transformer_encoder.layers.{d}.block"
+        out[f"TransformerEncoderBlock_{d}"] = {
+            "LayerNorm_0": _layer_norm(sd, f"{p}.0.fn.0"),
+            "MultiHeadAttention_0": {
+                "Dense_0": _dense(sd, f"{p}.0.fn.1.qkv"),
+                "Dense_1": _dense(sd, f"{p}.0.fn.1.projection"),
+            },
+            "LayerNorm_1": _layer_norm(sd, f"{p}.1.fn.0"),
+            "FeedForwardBlock_0": _feed_forward_block(sd, f"{p}.1.fn.1"),
+        }
+        d += 1
+    assert d > 0, f"no transformer encoder layers found under {prefix}"
+    out["LayerNorm_0"] = _layer_norm(sd, f"{prefix}.reconstruction.0")
+    out["DepthwiseSeparableConv_1"] = _dsconv(sd, f"{prefix}.reconstruction.3")
+    out["ChanLayerNorm_0"] = _chan_ln(sd, f"{prefix}.reconstruction.4")
+    return out
+
+
+def _attn_module(sd: Dict[str, Any], prefix: str,
+                 att_type: str) -> Dict[str, Any]:
+    """Convert one attention slot (``downs.{i}.2`` / ``mid_attn``): ViT3D is
+    self-identifying by its keys; Linear vs SoftMax transformer blocks share
+    a state-dict layout and map onto the flax child class chosen by
+    ``att_type`` (the reference picks the class from the config the same
+    way, :1392-1401)."""
+    if f"{prefix}.patch_embedding.positions" in sd:
+        return _vit3d(sd, prefix)
+    cls = "LinearAttention" if att_type == "linear" else "SoftMaxAttention"
+    out: Dict[str, Any] = {}
+    d = 0
+    while f"{prefix}.layers.{d}.0.norm.g" in sd:
+        out[f"{cls}_{d}"] = _attention(sd, f"{prefix}.layers.{d}.0")
+        out[f"ChanFeedForward_{d}"] = _chan_feed_forward(
+            sd, f"{prefix}.layers.{d}.1")
+        d += 1
+    assert d > 0, f"no attention layers found under {prefix}"
+    return out
+
+
 def strip_prefix(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
     """Select and strip ``prefix`` (e.g. ``unets.1.``) from a state dict."""
     return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
 
 
-def convert_iqt_unet_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+def convert_iqt_unet_state_dict(sd: Dict[str, Any],
+                                att_type: str = "linear") -> Dict[str, Any]:
     """Reference ``Unet`` state dict -> flax ``{"params": ...}`` variables.
 
     The structure (level count, blocks per level, memory_efficient,
-    cross-embed stem) is inferred from the keys themselves.
+    cross-embed stem, attention slots, deconv vs pixel-shuffle upsample) is
+    inferred from the keys themselves; ``att_type`` ('linear' | 'softmax')
+    disambiguates the two transformer-block families, whose torch state
+    dicts are key-identical (ViT3D self-identifies).
     """
     params: Dict[str, Any] = {}
 
@@ -143,12 +295,9 @@ def convert_iqt_unet_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
         if f"downs.{i}.0.1.weight" in sd:  # SP-conv pre-downsample
             params[f"down{i}_pre"] = {"Conv_0": _conv(sd, f"downs.{i}.0.1")}
         params[f"down{i}_init"] = _resnet_block(sd, f"downs.{i}.1")
-        if f"downs.{i}.2.layers.0.weight" in sd or any(
-            k.startswith(f"downs.{i}.2.") for k in sd
-        ):
-            raise NotImplementedError(
-                "attention (downs.{i}.2) conversion not yet supported"
-            )
+        if any(k.startswith(f"downs.{i}.2.") for k in sd):
+            params[f"down{i}_attn"] = _attn_module(
+                sd, f"downs.{i}.2", att_type)
         b = 0
         while f"downs.{i}.3.{b}.block1.project.weight" in sd:
             params[f"down{i}_block{b}"] = _resnet_block(sd, f"downs.{i}.3.{b}")
@@ -160,7 +309,7 @@ def convert_iqt_unet_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
 
     # --- middle -------------------------------------------------------------
     if any(k.startswith("mid_attn.") for k in sd):
-        raise NotImplementedError("mid attention conversion not yet supported")
+        params["mid_attn"] = _attn_module(sd, "mid_attn", att_type)
     if "mid_block.block1.project.weight" in sd:
         params["mid_block"] = _resnet_block(sd, "mid_block")
 
@@ -173,10 +322,9 @@ def convert_iqt_unet_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     for i in range(n_up):
         if f"ups.{i}.0.net.0.weight" in sd:  # pixel-shuffle upsample
             params[f"up{i}_upsample"] = {"Conv_0": _conv(sd, f"ups.{i}.0.net.0")}
-        elif f"ups.{i}.0.deconv.0.weight" in sd:
-            raise NotImplementedError(
-                "transposed-conv upsample conversion not yet supported"
-            )
+        elif f"ups.{i}.0.deconv.0.weight" in sd:  # Deconv3D upsample
+            params[f"up{i}_upsample"] = _deconv_upsample(
+                sd, f"ups.{i}.0.deconv.0")
         params[f"up{i}_init"] = _resnet_block(sd, f"ups.{i}.1")
         b = 0
         while f"ups.{i}.2.{b}.block1.project.weight" in sd:
@@ -191,7 +339,8 @@ def convert_iqt_unet_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def convert_reference_checkpoint(
-    obj: Any, unet_number: Optional[int] = None, use_ema: bool = False
+    obj: Any, unet_number: Optional[int] = None, use_ema: bool = False,
+    att_type: str = "linear",
 ) -> Dict[str, Any]:
     """Convert a reference checkpoint object into flax UNet3D variables.
 
@@ -209,14 +358,52 @@ def convert_reference_checkpoint(
         hasattr(v, "shape") or isinstance(v, np.ndarray)
         for v in (sd.get("model") or {}).values()
     ):
-        if use_ema and "ema" in sd:
+        if use_ema:
+            if "ema" not in sd:
+                raise KeyError(
+                    "use_ema=True but the checkpoint has no 'ema' entry"
+                )
             ema = sd["ema"]
-            # ema-pytorch prefixes online/ema copies; take the ema copy
-            sd = {
-                k.replace("ema_model.", ""): v
-                for k, v in ema.items()
-                if k.startswith("ema_model.")
-            } or sd["model"]
+            # A trainer bundle stores ema = self.ema_unets.state_dict(), an
+            # nn.ModuleList of ema-pytorch EMA wrappers, so keys are
+            # '{i}.ema_model.*' / '{i}.online_model.*'
+            # (/root/reference/trainer.py:859, ema-pytorch EMA attrs). A
+            # bare EMA wrapper state dict uses 'ema_model.*'.
+            indices = sorted({
+                int(m.group(1))
+                for k in ema
+                if (m := re.match(r"(\d+)\.ema_model\.", k))
+            })
+            prefixes = []
+            if unet_number is not None:
+                prefixes.append(f"{unet_number - 1}.ema_model.")
+            elif len(indices) == 1:
+                prefixes.append(f"{indices[0]}.ema_model.")
+            elif indices:
+                raise AssertionError(
+                    f"EMA entry holds unets {indices}; pass unet_number "
+                    "(1-based) to pick the stage"
+                )
+            prefixes.append("ema_model.")
+            for prefix in prefixes:
+                picked = {
+                    k[len(prefix):]: v
+                    for k, v in ema.items()
+                    if k.startswith(prefix)
+                }
+                if picked:
+                    sd = picked
+                    break
+            else:
+                raise KeyError(
+                    "use_ema=True but no '{i}.ema_model.*' / 'ema_model.*' "
+                    f"keys found in the 'ema' entry (got e.g. "
+                    f"{sorted(ema)[:3]}); refusing to silently fall back "
+                    "to the online weights"
+                )
+            # the EMA wraps ONE unet — unet selection is done
+            if not any(k.startswith("unets.") for k in sd):
+                return convert_iqt_unet_state_dict(sd, att_type=att_type)
         else:
             sd = sd["model"]
     if isinstance(sd, dict) and "state_dict" in sd:
@@ -226,7 +413,7 @@ def convert_reference_checkpoint(
             "state dict holds a full Imagen; pass unet_number (1-based)"
         )
         sd = strip_prefix(sd, f"unets.{unet_number - 1}.")
-    return convert_iqt_unet_state_dict(sd)
+    return convert_iqt_unet_state_dict(sd, att_type=att_type)
 
 
 def reference_subvolume_permutation(factor: int = 3) -> np.ndarray:

@@ -132,6 +132,83 @@ def test_forward_parity_flagship_geometry(ref_mod):
     _compare(ref, ours, variables, batch=27, sub_size=32, batch_sample=True)
 
 
+def _build_attention_pair(ref_mod, *, att_type, img_size=24,
+                          attend_at_middle=True, attend_at_enc=(False, False),
+                          pixel_shuffle_upsample=True, localvit=True,
+                          seed=0):
+    """Reference Unet + flax UNet3D with attention slots populated
+    (mid and/or encoder), for converter coverage of the three attention
+    families (reference imagen_pytorch3D.py:926-1106, :871-910) and the
+    Deconv3D upsample (:441-457).
+
+    batch_sample geometry is mandatory here: the reference merges the batch
+    into one volume around every attention slot unconditionally
+    (imagen_pytorch3D.py:1610-1622), so its attention path only functions on
+    factor^3 sub-volume batches."""
+    torch.manual_seed(seed)
+    kwargs = dict(
+        dim=16, num_resnet_blocks=(2, 2), dim_mults=(1, 2), channels=1,
+        init_dim=16, resnet_groups=4, init_cross_embed=False,
+        lowres_cond=True, use_se_attn=True, deep_feature=True,
+        init_conv_kernel_size=3, final_resnet_block=True,
+        final_conv_kernel_size=1, memory_efficient=False,
+        attend_at_middle=attend_at_middle, attn_dim_head=16,
+        attend_at_middle_depth=1, attend_at_middle_heads=4,
+        attend_at_enc_depth=(1, 1), attend_at_enc_heads=(4, 4),
+        att_forward_expansion=2, att_localvit=localvit,
+        pixel_shuffle_upsample=pixel_shuffle_upsample,
+    )
+    ref = ref_mod.Unet(
+        img_size=img_size, att_type=att_type, attend_at_enc=attend_at_enc,
+        boundary=False, batch_sample=True, batch_sample_factor=3,
+        attn_heads=4, **kwargs,
+    ).eval()
+    ours = UNet3D(
+        img_size=img_size, att_type=att_type, attend_at_enc=attend_at_enc,
+        boundary=False, batch_sample=True, batch_sample_factor=3,
+        attn_heads=4, dtype=jnp.float32, **kwargs,
+    )
+    variables = convert_iqt_unet_state_dict(ref.state_dict(),
+                                            att_type=att_type)
+    return ref, ours, variables
+
+
+@pytest.mark.parametrize("att_type", ["linear", "softmax", "vit"])
+def test_forward_parity_mid_attention(ref_mod, att_type):
+    """Converter + numerics for all three attention families at the middle
+    slot (VERDICT round-2 missing #3)."""
+    ref, ours, variables = _build_attention_pair(ref_mod, att_type=att_type)
+    _compare(ref, ours, variables, batch=27, sub_size=8, batch_sample=True)
+
+
+def test_forward_parity_enc_attention_linear(ref_mod):
+    """Encoder-level attention slot (downs.{i}.2) conversion."""
+    ref, ours, variables = _build_attention_pair(
+        ref_mod, att_type="linear", attend_at_enc=(True, False),
+        attend_at_middle=False,
+    )
+    _compare(ref, ours, variables, batch=27, sub_size=8, batch_sample=True)
+
+
+def test_forward_parity_vit_nonlocal_ff(ref_mod):
+    """ViT3D with the plain (Linear) feed-forward variant
+    (att_localvit=False, reference FeedForwardBlock :774-809)."""
+    ref, ours, variables = _build_attention_pair(
+        ref_mod, att_type="vit", localvit=False,
+    )
+    _compare(ref, ours, variables, batch=27, sub_size=8, batch_sample=True)
+
+
+def test_forward_parity_deconv_upsample(ref_mod):
+    """Deconv3D (transposed-conv) upsample conversion
+    (pixel_shuffle_upsample=False, reference :441-457)."""
+    ref, ours, variables = _build_attention_pair(
+        ref_mod, att_type="linear", attend_at_middle=False,
+        pixel_shuffle_upsample=False,
+    )
+    _compare(ref, ours, variables, batch=27, sub_size=8, batch_sample=True)
+
+
 def test_checkpoint_roundtrip_formats(ref_mod):
     """convert_reference_checkpoint handles trainer-bundle / model-only /
     raw-Imagen-prefixed state dicts (reference trainer.py:813-878,
