@@ -3,11 +3,53 @@
 Replaces the reference's torch ``DataLoader`` + ``my_collate``
 (``/root/reference/data.py:42-48``): items that return ``None`` (rejected
 patches) are dropped from the batch; an all-``None`` batch yields ``None``.
+
+``prefetch > 0`` overlaps host-side loading (NIfTI IO, patch crops,
+normalisation) with device compute via a background thread and a bounded
+queue — the TPU analog of torch's ``num_workers`` (the reference defaults
+to 0 workers, ``/root/reference/train.py:56``; on TPU the chip would stall
+on IO without this).
 """
 
 from __future__ import annotations
 
+import queue
+import threading
+
 import numpy as np
+
+
+class _PrefetchIterator:
+    """Drains ``iterable`` on a daemon thread into a bounded queue."""
+
+    _SENTINEL = object()
+
+    def __init__(self, iterable, depth: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
+        self._err = None
+
+        def worker():
+            try:
+                for item in iterable:
+                    self._q.put(item)
+            except BaseException as e:  # propagate to the consumer
+                self._err = e
+            finally:
+                self._q.put(self._SENTINEL)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._SENTINEL:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
 
 
 def collate_drop_none(items):
@@ -29,12 +71,13 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
                  drop_last: bool = False, collate_fn=collate_drop_none,
-                 seed: int = 0):
+                 seed: int = 0, prefetch: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.collate_fn = collate_fn
+        self.prefetch = prefetch
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -44,6 +87,11 @@ class DataLoader:
         return -(-n // self.batch_size)
 
     def __iter__(self):
+        if self.prefetch > 0:
+            return _PrefetchIterator(self._iterate(), depth=self.prefetch)
+        return self._iterate()
+
+    def _iterate(self):
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:

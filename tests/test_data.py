@@ -127,3 +127,67 @@ def test_rejection_sampling_best_candidate_fallback(tmp_path):
         if np.count_nonzero(lr_patch) > 0:
             hits += 1
     assert hits >= 6, "fallback never found the non-empty candidate"
+
+
+def test_prefetch_loader_matches_sync_and_propagates_errors():
+    """prefetch>0 must yield the same batches in the same order as the
+    synchronous path (VERDICT round-2 item 10), and worker exceptions must
+    reach the consumer."""
+    from diffusioniqt_tpu.data.loader import DataLoader
+
+    class TinyDS:
+        def __len__(self):
+            return 7
+
+        def __getitem__(self, i):
+            return (np.full((2, 2), i, np.float32),)
+
+    a = list(DataLoader(TinyDS(), batch_size=2, shuffle=True, seed=5))
+    b = list(DataLoader(TinyDS(), batch_size=2, shuffle=True, seed=5,
+                        prefetch=2))
+    assert len(a) == len(b) == 4
+    for (x,), (y,) in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+    class BadDS:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            if i == 2:
+                raise RuntimeError("boom")
+            return (np.zeros(1, np.float32),)
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        list(DataLoader(BadDS(), batch_size=1, prefetch=2))
+
+
+def test_synthetic_phantom_pair_properties():
+    """Synthetic LR/HR phantoms (data/synthetic.py): zero background,
+    positive brain intensities, LR correlated-but-degraded, crops normalize
+    to ~unit scale."""
+    from diffusioniqt_tpu.data.synthetic import (
+        SyntheticIQTDataset, generate_pair, population_stats,
+    )
+
+    hr, lr = generate_pair(64, seed=0)
+    assert hr.shape == lr.shape == (64, 64, 64)
+    assert hr.min() == 0.0 and (hr > 0).mean() > 0.15
+    mask = hr == 0
+    assert np.all(lr[mask] == 0.0), "LR must keep the zero background"
+    corr = np.corrcoef(hr.ravel(), lr.ravel())[0, 1]
+    assert corr > 0.9, "LR should stay strongly correlated with HR"
+    assert float(np.abs(hr - lr).mean()) > 1.0, "LR must actually be degraded"
+
+    mean, std = population_stats([lr])
+    cfg = Config()
+    cfg.train.batch_sample = True
+    cfg.train.patch_size_sub = 16
+    cfg.train.batch_sample_factor = 3
+    cfg.data.mean, cfg.data.std = mean, std
+    ds = SyntheticIQTDataset(cfg, pairs=[(hr, lr)], samples_per_volume=2)
+    hp, lp = ds[0]
+    assert hp.shape == lp.shape == (48, 48, 48, 1)
+    assert np.isfinite(hp).all() and np.isfinite(lp).all()
