@@ -1,0 +1,65 @@
+"""Subprocess worker for the 2-process multi-host integration test.
+
+Runs one JAX process of a 2-process CPU "cluster" (2 virtual devices per
+process -> 4 global devices), trains a tiny model for a few steps through
+the multi-host trainer path (global-batch slicing +
+make_array_from_process_local_data), and prints the per-step losses as one
+JSON line. Launched by tests/test_multihost.py.
+"""
+
+import json
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=2"
+).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+
+def main():
+    rank = int(sys.argv[1])
+    port = sys.argv[2]
+
+    from diffusioniqt_tpu.parallel.multihost import initialize_multihost
+
+    initialize_multihost(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=2,
+        process_id=rank,
+    )
+    assert jax.process_count() == 2
+    assert len(jax.devices()) == 4
+
+    import numpy as np
+
+    from diffusioniqt_tpu.parallel.mesh import create_mesh
+    from diffusioniqt_tpu.train.trainer import ImagenTrainer
+    from tests.test_trainer import tiny_cfg, tiny_imagen
+
+    cfg = tiny_cfg()
+    mesh = create_mesh(("data",), (4,))
+    trainer = ImagenTrainer(
+        configs=cfg, imagen=tiny_imagen(cfg), mesh=mesh,
+        gradient_accumulation_steps=1, lr=2e-3,
+    )
+
+    rng = np.random.default_rng(0)  # same global batch on every process
+    losses = []
+    for step in range(3):
+        hr = rng.standard_normal((4, 8, 8, 8, 1)).astype(np.float32)
+        lr_img = hr + 0.1 * rng.standard_normal(hr.shape).astype(np.float32)
+        losses.append(trainer.train_step(unet_number=2, batch=(hr, lr_img)))
+    print("LOSSES" + json.dumps(losses), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -41,22 +41,36 @@ def main():
     from diffusioniqt_tpu.data.datasets import FakeIQTDataset, SupervisedIQT
     from diffusioniqt_tpu.diffusion.gaussian import imagen_from_config
     from diffusioniqt_tpu.models.unet3d import NullUnet, iqt_unet_from_config
+    from diffusioniqt_tpu.parallel.multihost import (
+        initialize_multihost,
+        is_main_process,
+        local_batch_slice,
+    )
     from diffusioniqt_tpu.train.trainer import ImagenTrainer
     from diffusioniqt_tpu.utils.seed import set_seed
+
+    # multi-host: one jax.distributed.initialize per process before first
+    # backend use (the Accelerate-launcher equivalent, reference
+    # trainer.py:296-301); no-op on a single host
+    initialize_multihost()
+    import jax
+
+    main_proc = is_main_process()
 
     cfg = load_config(args.config)
     set_seed(cfg.train.seed)
 
     project_path = os.path.join(cfg.results_dir, cfg.project_name)
-    assert not os.path.isdir(project_path), f"project {project_path} exists!"
-    os.makedirs(os.path.join(project_path, cfg.model_dir))
-    os.makedirs(os.path.join(project_path, cfg.file_dir))
-    os.makedirs(os.path.join(project_path, cfg.eval.save_imgs))
+    if main_proc:
+        assert not os.path.isdir(project_path), f"project {project_path} exists!"
+        os.makedirs(os.path.join(project_path, cfg.model_dir))
+        os.makedirs(os.path.join(project_path, cfg.file_dir))
+        os.makedirs(os.path.join(project_path, cfg.eval.save_imgs))
 
-    import yaml
+        import yaml
 
-    with open(os.path.join(project_path, "config.yaml"), "w") as fh:
-        yaml.dump(cfg.to_dict(), fh)
+        with open(os.path.join(project_path, "config.yaml"), "w") as fh:
+            yaml.dump(cfg.to_dict(), fh)
 
     batch_size = 1 if cfg.train.batch_sample else cfg.train.batch_size
     batch_size_test = 1 if cfg.train.batch_sample else cfg.eval.batch_size
@@ -92,9 +106,18 @@ def main():
         imagen = imagen_from_config(cfg, (unet1, unet2))
         print("Imagen loaded")
 
+    # multi-host: shard the batch over a data mesh spanning every device of
+    # every process; each process feeds only its local_batch_slice
+    mesh = None
+    if jax.process_count() > 1:
+        from diffusioniqt_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(("data",), (len(jax.devices()),))
+
     trainer = ImagenTrainer(
         configs=cfg,
         imagen=imagen,
+        mesh=mesh,
         gradient_accumulation_steps=cfg.train.gradient_accumulation_steps,
         lr=cfg.train.lr,
         ema_decay=cfg.train.ema_decay,
@@ -131,12 +154,14 @@ def main():
         loss = trainer.train_step(unet_number=2,
                                   max_batch_size=cfg.train.batch_size)
         train_ls.append(loss)
-        write_csv(os.path.join(log_dir, cfg.train.save_file),
-                  {"loss": train_ls})
+        if main_proc:
+            write_csv(os.path.join(log_dir, cfg.train.save_file),
+                      {"loss": train_ls})
         trainer.update(unet_number=2)
 
         if i % args.eval_every == 0:
-            print(f"unet: 2, Step: {i}, loss: {loss}")
+            if main_proc:
+                print(f"unet: 2, Step: {i}, loss: {loss}")
             valid_loss, preds, condi1, data, ssim, psnr = trainer.valid_step(
                 unet_number=2, max_batch_size=cfg.eval.batch_size
             )
@@ -144,25 +169,32 @@ def main():
             ssim_val.append(ssim)
             psnr_val.append(psnr)
 
-            if cfg.train.pred_obj == "x_start":
-                write_csv(os.path.join(log_dir, cfg.eval.save_file),
-                          {"loss": valid_ls, "ssim": ssim_val, "psnr": psnr_val})
-            else:
-                write_csv(os.path.join(log_dir, cfg.eval.save_file),
-                          {"loss": valid_ls})
+            if main_proc:
+                if cfg.train.pred_obj == "x_start":
+                    write_csv(os.path.join(log_dir, cfg.eval.save_file),
+                              {"loss": valid_ls, "ssim": ssim_val, "psnr": psnr_val})
+                else:
+                    write_csv(os.path.join(log_dir, cfg.eval.save_file),
+                              {"loss": valid_ls})
 
             if best > valid_ls[-1]:
-                print("Best model!")
                 best = valid_ls[-1]
-                np.save(os.path.join(fig_dir, f"conditional_iqt_{i}_gt.npy"), data[0])
-                np.save(os.path.join(fig_dir, f"conditional_iqt_{i}_lr.npy"), data[1])
-                np.save(os.path.join(fig_dir, f"conditional_iqt_{i}_noisy.npy"), condi1)
-                np.save(os.path.join(fig_dir, f"conditional_iqt_{i}_pred.npy"), preds)
-                trainer.save(os.path.join(project_path, cfg.model_dir,
-                                          cfg.train.save_model))
+                # checkpoint/dump writes are main-process-gated (the
+                # reference's accelerator.is_main_process gating,
+                # trainer.py:439-444); DP keeps params replicated so the
+                # main process holds every addressable shard
+                if main_proc:
+                    print("Best model!")
+                    np.save(os.path.join(fig_dir, f"conditional_iqt_{i}_gt.npy"), data[0])
+                    np.save(os.path.join(fig_dir, f"conditional_iqt_{i}_lr.npy"), data[1])
+                    np.save(os.path.join(fig_dir, f"conditional_iqt_{i}_noisy.npy"), condi1)
+                    np.save(os.path.join(fig_dir, f"conditional_iqt_{i}_pred.npy"), preds)
+                    trainer.save(os.path.join(project_path, cfg.model_dir,
+                                              cfg.train.save_model))
 
-    trainer.save(os.path.join(project_path, cfg.model_dir,
-                              cfg.train.save_last_model))
+    if main_proc:
+        trainer.save(os.path.join(project_path, cfg.model_dir,
+                                  cfg.train.save_last_model))
     print("Training done")
 
 
