@@ -30,6 +30,73 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import jax
 import jax.numpy as jnp
 
+# v5e bf16 peak (MXU): 197 TFLOP/s/chip — roofline denominator
+_V5E_PEAK_TFLOPS = 197.0
+
+
+def _flops_of(compiled) -> float:
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def bench_train(cfg, imagen):
+    """Training-side benchmark (VERDICT round-2 item 2): the full jitted
+    train step — grad-accum 4 x 27x32^3 microbatches, Adam, EMA — at the
+    flagship batch_sample+boundary geometry (the reference hot loop,
+    /root/reference/trainer.py:1099-1128)."""
+    from diffusioniqt_tpu.train.trainer import ImagenTrainer
+
+    accum = 4
+    trainer = ImagenTrainer(
+        configs=cfg, imagen=imagen, gradient_accumulation_steps=accum,
+        use_ema=True, ema_update_every=10, lr=1e-4,
+    )
+    key = jax.random.PRNGKey(3)
+    # `accum` 96^3 patches; the trainer splits each into 27x32^3 sub-volumes
+    hr = jax.random.normal(key, (accum, 96, 96, 96, 1), jnp.float32)
+    lr_img = jax.random.normal(jax.random.fold_in(key, 1), hr.shape,
+                               jnp.float32)
+    batch = (hr, lr_img)
+
+    trainer.train_step(unet_number=2, batch=batch)  # compile + warmup
+
+    iters = 8
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss = trainer.train_step(unet_number=2, batch=batch)
+    elapsed = time.perf_counter() - t0  # train_step returns float(loss): synced
+
+    steps_per_sec = iters / elapsed
+    flops = 0.0
+    if trainer._train_step_fns:
+        fn = next(iter(trainer._train_step_fns.values()))
+        try:
+            i = 1  # unet index
+            args = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                (trainer.params[i], trainer.opt_states[i],
+                 jax.random.PRNGKey(0),
+                 jnp.zeros((accum, 27, 32, 32, 32, 1), jnp.float32),
+                 jnp.zeros((accum, 27, 32, 32, 32, 1), jnp.float32)),
+            )
+            flops = _flops_of(fn.lower(*args).compile())
+        except Exception:
+            flops = 0.0
+    tflops = flops * steps_per_sec / 1e12
+    return {
+        "train_steps_per_sec": round(steps_per_sec, 4),
+        "train_patches_per_sec": round(steps_per_sec * accum, 4),
+        "train_grad_accum": accum,
+        "train_achieved_tflops": round(tflops, 2),
+        "train_pct_of_roofline": round(100.0 * tflops / _V5E_PEAK_TFLOPS, 1),
+        "train_last_loss": round(float(loss), 5),
+    }
+
 
 def main():
     from diffusioniqt_tpu.config import Config
@@ -121,6 +188,19 @@ def main():
     steps_per_sec = steps * iters / elapsed
     patches_per_sec = iters * patches / elapsed  # 96^3 patches (27x32^3 each)
 
+    # achieved FLOP throughput of the sampling loop (roofline context)
+    try:
+        sample_flops = _flops_of(fn.lower(params[1], key, lowres).compile())
+    except Exception:
+        sample_flops = 0.0
+    sample_tflops = sample_flops * iters / elapsed / 1e12
+
+    # training-side benchmark (VERDICT round-2 item 2). Heavy on CPU — run
+    # on TPU by default, or when forced with --train; skip with --no-train.
+    train_aux = {}
+    if "--no-train" not in sys.argv and (on_tpu or "--train" in sys.argv):
+        train_aux = bench_train(cfg, imagen)
+
     # full-volume projection: 240^3 brain volume, 96^3 windows, stride 32
     # (reference test.py:151-153 crops 256^3 -> 240^3; eval overlap=32)
     grid = sliding_window_grid((240, 240, 240), 96, 32)
@@ -153,6 +233,10 @@ def main():
             "sampling_timesteps": steps,
             "compute_dtype": cfg.train.compute_dtype,
             "mesh_devices": mesh.shape["data"] if mesh is not None else 1,
+            "sampling_achieved_tflops": round(sample_tflops, 2),
+            "sampling_pct_of_roofline": round(
+                100.0 * sample_tflops / _V5E_PEAK_TFLOPS, 1),
+            **train_aux,
         },
     }))
 

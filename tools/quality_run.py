@@ -1,0 +1,198 @@
+"""End-to-end trained-quality proof on synthetic phantoms (QUALITY.md).
+
+Trains the flagship eval-config model (dim 64, batch_sample 27x32^3,
+boundary halo convs, x_start objective — reference config/eval_config.yaml)
+on procedurally generated LR/HR phantom volumes (data/synthetic.py), then
+runs full sliding-window inference + stitching on held-out phantoms and
+scores MS-SSIM/PSNR against the LR-input baseline — the reference's
+acceptance criterion (``/root/reference/test_all.py:304-324``).
+
+Usage (TPU):
+    python tools/quality_run.py --steps 3000 --out results/quality
+Quick CPU smoke:
+    python tools/quality_run.py --quick --out /tmp/q
+
+Writes: loss CSV, checkpoints, metrics JSON (pred vs LR baseline per
+held-out volume) under --out.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+
+def flagship_cfg(quick: bool = False):
+    from diffusioniqt_tpu.config import Config
+
+    import jax
+
+    cfg = Config()
+    cfg.train.batch_sample = True
+    cfg.train.boundary = True
+    cfg.train.patch_size_sub = 32
+    cfg.train.pred_obj = "x_start"
+    cfg.train.timesteps = 1000
+    cfg.train.dynamic_threshold = False
+    cfg.train.lr = 1e-4
+    on_tpu = jax.default_backend() == "tpu"
+    cfg.train.compute_dtype = "bfloat16" if on_tpu else "float32"
+    cfg.eval.overlap = 32
+    if quick:
+        cfg.train.dim = 16
+        cfg.train.init_dim = 16
+        cfg.train.dim_mults = (1, 2)
+        cfg.train.num_resnet_blocks = (1, 1)
+        cfg.train.att_enc = (False, False)
+        cfg.train.att_enc_depth = (1, 1)
+        cfg.train.att_enc_heads = (8, 8)
+        cfg.train.timesteps = 20
+    return cfg
+
+
+def build_trainer(cfg, accum=4):
+    from diffusioniqt_tpu.diffusion.gaussian import imagen_from_config
+    from diffusioniqt_tpu.models.unet3d import NullUnet, iqt_unet_from_config
+    from diffusioniqt_tpu.train.trainer import ImagenTrainer
+
+    unet = iqt_unet_from_config(cfg)
+    imagen = imagen_from_config(cfg, [NullUnet(), unet])
+    return ImagenTrainer(
+        configs=cfg, imagen=imagen, gradient_accumulation_steps=accum,
+        lr=cfg.train.lr, use_ema=True,
+        ema_update_after_step=cfg.train.ema_update_after_step,
+        ema_update_every=cfg.train.ema_update_every,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--out", default="results/quality")
+    ap.add_argument("--volumes", type=int, default=4)
+    ap.add_argument("--size", type=int, default=192)
+    ap.add_argument("--batch-patches", type=int, default=4,
+                    help="96^3 patches per optimizer step (accum microbatches)")
+    ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--ckpt-every", type=int, default=1000)
+    ap.add_argument("--eval-volumes", type=int, default=2)
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny CPU smoke (dim 16, 96^3 phantoms, 20 steps)")
+    args = ap.parse_args()
+
+    if args.quick:
+        args.steps = min(args.steps, 6)
+        args.size = 96
+        args.volumes = 1
+        args.batch_patches = 1
+        args.eval_volumes = 1
+
+    os.makedirs(args.out, exist_ok=True)
+
+    from diffusioniqt_tpu.data.synthetic import (
+        SyntheticIQTDataset, generate_pair, population_stats,
+    )
+
+    cfg = flagship_cfg(quick=args.quick)
+
+    # population z-score stats from the training LR volumes (reference
+    # precomputes Data.mean/std the same way, config/config.yaml:12-15)
+    pairs = [generate_pair(args.size, seed=i) for i in range(args.volumes)]
+    mean, std = population_stats([lr for _, lr in pairs])
+    cfg.data.mean = mean
+    cfg.data.std = std
+    cfg.data.mean_hr, cfg.data.std_hr = population_stats(
+        [hr for hr, _ in pairs])
+
+    ds = SyntheticIQTDataset(cfg, seed=0, samples_per_volume=8, pairs=pairs)
+
+    trainer = build_trainer(cfg, accum=4 if not args.quick else 1)
+    trainer.add_train_dataset(ds, batch_size=args.batch_patches)
+
+    print(f"config: dim={cfg.train.dim} steps={args.steps} "
+          f"mean={mean:.2f} std={std:.2f}", flush=True)
+
+    losses = []
+    csv_path = os.path.join(args.out, "train_loss.csv")
+    t0 = time.time()
+    with open(csv_path, "w") as fh:
+        fh.write("step,loss,seconds\n")
+        for step in range(1, args.steps + 1):
+            loss = trainer.train_step(unet_number=2)
+            losses.append(loss)
+            fh.write(f"{step},{loss:.6f},{time.time() - t0:.1f}\n")
+            if step % args.log_every == 0 or step == 1:
+                fh.flush()
+                recent = np.mean(losses[-args.log_every:])
+                print(f"step {step}/{args.steps} loss {recent:.5f} "
+                      f"({(time.time() - t0):.0f}s)", flush=True)
+            if step % args.ckpt_every == 0 or step == args.steps:
+                trainer.save(os.path.join(args.out, "ckpt"))
+
+    # ---- final eval: 20-step sampling on held-out phantoms ---------------
+    cfg_eval = flagship_cfg(quick=args.quick)
+    cfg_eval.data.mean, cfg_eval.data.std = mean, std
+    cfg_eval.train.timesteps = 20
+    eval_trainer = build_trainer(cfg_eval)
+    eval_trainer.prepare()
+    eval_trainer.params = trainer.params
+    eval_trainer.ema_states = trainer.ema_states
+
+    from test import infer_volume
+    from test_all import evaluate
+
+    results = []
+    for i in range(args.eval_volumes):
+        hr, lr = generate_pair(args.size, seed=10_000 + i)
+        hr_n = (hr - mean) / std
+        lr_n = (lr - mean) / std
+        t1 = time.time()
+        pred = infer_volume(cfg_eval, eval_trainer, lr, verbose=False,
+                            patch_batch=8 if not args.quick else 1)
+        elapsed = time.time() - t1
+        # background masking (reference test_all.py:300)
+        min_val = lr_n.min()
+        pred[lr_n == min_val] = min_val
+
+        border = min(32, (hr.shape[0] - 1) // 3)
+        m_pred = evaluate(pred, hr_n, border=border)
+        m_lr = evaluate(lr_n, hr_n, border=border)
+        row = {
+            "volume": i,
+            "pred_msssim": m_pred["msssim"], "pred_psnr": m_pred["psnr"],
+            "lr_msssim": m_lr["msssim"], "lr_psnr": m_lr["psnr"],
+            "seconds": round(elapsed, 1),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    summary = {
+        "steps": args.steps,
+        "final_loss_mean_100": float(np.mean(losses[-100:])),
+        "first_loss_mean_100": float(np.mean(losses[:100])),
+        "volumes": results,
+        "pred_beats_lr_msssim": all(
+            r["pred_msssim"] > r["lr_msssim"] for r in results),
+        "pred_beats_lr_psnr": all(
+            r["pred_psnr"] > r["lr_psnr"] for r in results),
+        "config": {"dim": cfg.train.dim, "size": args.size,
+                   "mean": mean, "std": std},
+    }
+    with open(os.path.join(args.out, "quality.json"), "w") as fh:
+        json.dump(summary, fh, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
