@@ -301,3 +301,55 @@ def test_nifti_nan_scl_slope_means_no_scaling(tmp_path):
     data, _ = nifti.read(path)
     np.testing.assert_allclose(data, vol)
     assert np.isfinite(data).all()
+
+
+# ---------------------------------------------------------------------------
+# valid_step_sample with batch_sample flagship geometry (VERDICT weak #8)
+
+
+@pytest.mark.slow
+def test_valid_step_sample_batch_sample_geometry():
+    """Sampling-based validation with 96^3->27x32^3-style geometry (here
+    24^3 -> 27x8^3): the batch_sample split, chunking and SSIM merge paths
+    must compose."""
+    from diffusioniqt_tpu.config import Config
+    from diffusioniqt_tpu.data.datasets import FakeIQTDataset
+    from diffusioniqt_tpu.diffusion.gaussian import Imagen
+    from diffusioniqt_tpu.models.unet3d import NullUnet, UNet3D
+
+    cfg = Config()
+    cfg.train.patch_size_sub = 8
+    cfg.train.batch_sample = True
+    cfg.train.batch_sample_factor = 3
+    cfg.train.timesteps = 4
+    cfg.train.pred_obj = "x_start"
+    cfg.train.compute_dtype = "float32"
+    cfg.eval.repeat = 1
+
+    unet = UNet3D(
+        dim=8, img_size=24, dim_mults=(1, 2), num_resnet_blocks=1,
+        channels=1, init_dim=8, resnet_groups=4, init_cross_embed=False,
+        att_type="linear", attend_at_middle=False,
+        attend_at_enc=(False, False), use_se_attn=True, boundary=True,
+        batch_sample=True, batch_sample_factor=3, deep_feature=False,
+        dtype=jnp.float32,
+    )
+    imagen = Imagen(
+        unets=[NullUnet(), unet], image_sizes=(8, 8), channels=1,
+        timesteps=4, pred_objectives="x_start", dynamic_thresholding=False,
+        p2_loss_weight_gamma=0.0, auto_normalize_img=False,
+        cond_drop_prob=0.0, min_bound=cfg.data.min_bound, norm="z-score",
+        batch_sample=True,
+    )
+    tr = ImagenTrainer(configs=cfg, imagen=imagen,
+                       gradient_accumulation_steps=1)
+    # dataset yields whole 24^3 patches; the trainer splits to 27x8^3
+    tr.add_valid_dataset(FakeIQTDataset(size=24, length=2, seed=0),
+                         batch_size=1)
+    losses, preds, [hrs, lrs], ssim, psnr = tr.valid_step_sample(
+        unet_number=2, max_batch_size=27,
+    )
+    assert preds.shape == hrs.shape == lrs.shape
+    assert preds.shape[1:] == (8, 8, 8, 1) and preds.shape[0] == 2 * 27
+    assert np.isfinite(losses).all()
+    assert np.isfinite(ssim) and np.isfinite(psnr)
