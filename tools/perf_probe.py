@@ -62,7 +62,72 @@ def floor_ms(bytes_moved: float) -> float:
     return bytes_moved / (BW_GBPS * 1e9) * 1000.0
 
 
+def loader_overlap_probe():
+    """VERDICT round-2 item 10 evidence: with prefetch=2 the train loop's
+    batch-wait must be ~0 while device steps run (IO/compute overlap).
+
+    Times `next(loader)` waits across a short flagship-geometry training
+    loop with prefetch 0 vs 2 on synthetic phantoms."""
+    from diffusioniqt_tpu.config import Config
+    from diffusioniqt_tpu.data.loader import DataLoader
+    from diffusioniqt_tpu.data.synthetic import (
+        SyntheticIQTDataset, generate_pair, population_stats,
+    )
+    from diffusioniqt_tpu.diffusion.gaussian import imagen_from_config
+    from diffusioniqt_tpu.models.unet3d import NullUnet, iqt_unet_from_config
+
+    cfg = Config()
+    cfg.train.batch_sample = True
+    cfg.train.boundary = True
+    cfg.train.patch_size_sub = 32
+    cfg.train.pred_obj = "x_start"
+    cfg.train.dynamic_threshold = False
+    cfg.train.compute_dtype = (
+        "bfloat16" if jax.default_backend() == "tpu" else "float32")
+    pairs = [generate_pair(192, seed=i) for i in range(2)]
+    cfg.data.mean, cfg.data.std = population_stats([lr for _, lr in pairs])
+
+    from diffusioniqt_tpu.train.trainer import ImagenTrainer
+
+    ds = SyntheticIQTDataset(cfg, pairs=pairs, samples_per_volume=16)
+    imagen = imagen_from_config(
+        cfg, [NullUnet(), iqt_unet_from_config(cfg)])
+
+    out = {}
+    for prefetch in (0, 2):
+        trainer = ImagenTrainer(configs=cfg, imagen=imagen,
+                                gradient_accumulation_steps=4)
+        loader = DataLoader(ds, batch_size=4, shuffle=True,
+                            prefetch=prefetch)
+        it = iter(loader)
+        batch = next(it)
+        trainer.train_step(unet_number=2, batch=batch)  # compile
+        waits, steps = [], []
+        t_loop = time.perf_counter()
+        for _ in range(8):
+            t0 = time.perf_counter()
+            try:
+                batch = next(it)
+            except StopIteration:
+                it = iter(loader)
+                batch = next(it)
+            waits.append(time.perf_counter() - t0)
+            t1 = time.perf_counter()
+            trainer.train_step(unet_number=2, batch=batch)
+            steps.append(time.perf_counter() - t1)
+        total = time.perf_counter() - t_loop
+        out[f"prefetch{prefetch}"] = {
+            "mean_batch_wait_ms": round(1000 * sum(waits) / len(waits), 1),
+            "mean_step_ms": round(1000 * sum(steps) / len(steps), 1),
+            "loop_s": round(total, 2),
+        }
+    print(json.dumps(out, indent=2))
+
+
 def main():
+    if "--loader" in sys.argv:
+        loader_overlap_probe()
+        return
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (B, S, S, S, C), jnp.float32).astype(DT)
     w = jax.random.normal(key, (3, 3, 3, C, C), jnp.float32).astype(DT) * 0.05
