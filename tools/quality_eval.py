@@ -1,0 +1,108 @@
+"""Standalone quality evaluation from a saved quality-run checkpoint.
+
+Loads the trainer bundle written by tools/quality_run.py, regenerates the
+held-out phantoms (same seeds), runs full sliding-window inference +
+stitching at 20 sampling steps, and scores MS-SSIM/PSNR against the LR
+baseline. Lets training and evaluation be decoupled (e.g. evaluate the
+step-2000 checkpoint while the 3000-step run continues, or compare trim
+vs gaussian stitching after the fact).
+
+    python tools/quality_eval.py --ckpt results/quality_r3/ckpt \
+        --mean M --std S --out results/quality_r3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tools"))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--mean", type=float, default=None)
+    ap.add_argument("--std", type=float, default=None)
+    ap.add_argument("--size", type=int, default=192)
+    ap.add_argument("--eval-volumes", type=int, default=2)
+    ap.add_argument("--stitch", choices=["trim", "gaussian"], default="trim")
+    ap.add_argument("--timesteps", type=int, default=20)
+    ap.add_argument("--patch-batch", type=int, default=8)
+    ap.add_argument("--suffix", default="")
+    args = ap.parse_args()
+
+    from diffusioniqt_tpu.data.synthetic import (
+        generate_pair, population_stats,
+    )
+    from quality_run import build_trainer, flagship_cfg
+    from test import infer_volume
+    from test_all import evaluate
+
+    if args.mean is None or args.std is None:
+        # default quality_run stats: recompute from the training volumes
+        pairs = [generate_pair(args.size, seed=i) for i in range(4)]
+        mean, std = population_stats([lr for _, lr in pairs])
+    else:
+        mean, std = args.mean, args.std
+
+    cfg = flagship_cfg()
+    cfg.data.mean, cfg.data.std = mean, std
+    cfg.train.timesteps = args.timesteps
+    trainer = build_trainer(cfg)
+    trainer.prepare()
+    trainer.load(args.ckpt)
+    print(f"loaded {args.ckpt} at steps {trainer.steps}", flush=True)
+
+    results = []
+    for i in range(args.eval_volumes):
+        hr, lr = generate_pair(args.size, seed=10_000 + i)
+        hr_n = (hr - mean) / std
+        lr_n = (lr - mean) / std
+        t1 = time.time()
+        pred = infer_volume(cfg, trainer, lr, verbose=False,
+                            stitch_mode=args.stitch,
+                            patch_batch=args.patch_batch)
+        elapsed = time.time() - t1
+        min_val = lr_n.min()
+        pred[lr_n == min_val] = min_val
+        border = min(32, (hr.shape[0] - 1) // 3)
+        m_pred = evaluate(pred, hr_n, border=border)
+        m_lr = evaluate(lr_n, hr_n, border=border)
+        row = {
+            "volume": i, "stitch": args.stitch,
+            "pred_msssim": m_pred["msssim"], "pred_psnr": m_pred["psnr"],
+            "lr_msssim": m_lr["msssim"], "lr_psnr": m_lr["psnr"],
+            "seconds": round(elapsed, 1),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    summary = {
+        "ckpt": args.ckpt, "steps": trainer.steps, "stitch": args.stitch,
+        "volumes": results,
+        "pred_beats_lr_msssim": all(
+            r["pred_msssim"] > r["lr_msssim"] for r in results),
+        "pred_beats_lr_psnr": all(
+            r["pred_psnr"] > r["lr_psnr"] for r in results),
+    }
+    print(json.dumps(summary))
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        name = f"quality_eval{('_' + args.suffix) if args.suffix else ''}.json"
+        with open(os.path.join(args.out, name), "w") as fh:
+            json.dump(summary, fh, indent=2)
+
+
+if __name__ == "__main__":
+    main()
