@@ -5,10 +5,12 @@ text-conditional paths (video U-Net, elucidated cascade). The 3D IQT training
 path never uses text (reference imagen_pytorch3D.py:1801 hardcodes
 ``condition_on_text=False``).
 
-This image has ``transformers`` but no network egress, so pretrained weights
-may be unavailable — ``t5_encode_text`` raises a clear error in that case,
-and ``hash_text_encode`` provides a deterministic stand-in embedding for
-tests and smoke runs.
+This image has ``transformers`` but no network egress, so pretrained
+weights may be unavailable. Three tiers keep the path exercisable:
+pretrained weights when fetchable; ``allow_random_init=True`` runs the
+genuine HF ``T5EncoderModel`` forward with deterministic random weights
+and a sentencepiece-free tokenizer (same code path — swap in real weights
+with no change); ``hash_text_encode`` is a model-free stand-in.
 """
 
 from __future__ import annotations
@@ -41,7 +43,57 @@ def get_encoded_dim(name: str = DEFAULT_T5_NAME) -> int:
     return 768
 
 
-def _get_model_and_tokenizer(name: str):
+class _WhitespaceTokenizer:
+    """Sentencepiece-free stand-in tokenizer: words hash to stable ids,
+    with T5's </s>=1 terminator and pad=0. Only used with random-init
+    encoders — real checkpoints pair with the real tokenizer."""
+
+    def __init__(self, vocab_size: int = 512):
+        self.vocab_size = vocab_size
+
+    def __call__(self, texts, return_tensors="pt", padding="longest",
+                 max_length: int = 256, truncation: bool = True):
+        import torch
+        from types import SimpleNamespace
+
+        seqs = []
+        for text in texts:
+            toks = [
+                int.from_bytes(
+                    hashlib.sha256(w.encode()).digest()[:4], "little"
+                ) % (self.vocab_size - 2) + 2
+                for w in text.split()
+            ]
+            if truncation:
+                toks = toks[: max_length - 1]
+            seqs.append(toks + [1])  # </s>
+        length = max(len(s) for s in seqs)
+        input_ids = torch.zeros(len(seqs), length, dtype=torch.long)
+        mask = torch.zeros(len(seqs), length, dtype=torch.long)
+        for i, s in enumerate(seqs):
+            input_ids[i, : len(s)] = torch.tensor(s)
+            mask[i, : len(s)] = 1
+        return SimpleNamespace(input_ids=input_ids, attention_mask=mask)
+
+
+def _random_init_encoder(name: str):
+    """A real (randomly initialised) HF ``T5EncoderModel`` + stand-in
+    tokenizer, so the genuine encode path runs in offline images; swapping
+    in pretrained weights requires no code change."""
+    import torch
+    from transformers import T5Config, T5EncoderModel
+
+    torch.manual_seed(0)  # deterministic embeddings per process
+    config = T5Config(
+        vocab_size=512, d_model=get_encoded_dim(name), d_kv=32, d_ff=128,
+        num_layers=2, num_heads=4, decoder_start_token_id=0,
+    )
+    model = T5EncoderModel(config)
+    model.eval()
+    return model, _WhitespaceTokenizer(config.vocab_size)
+
+
+def _get_model_and_tokenizer(name: str, allow_random_init: bool = False):
     if name in _CACHE:
         return _CACHE[name]
     try:
@@ -50,11 +102,14 @@ def _get_model_and_tokenizer(name: str):
         tokenizer = T5Tokenizer.from_pretrained(name)
         model = T5EncoderModel.from_pretrained(name)
         model.eval()
-    except Exception as e:  # pragma: no cover - no weights in this image
-        raise RuntimeError(
-            f"could not load T5 '{name}' (offline image / no cached weights): "
-            f"{e}. Use hash_text_encode for tests."
-        ) from e
+    except Exception as e:  # no weights in this offline image
+        if not allow_random_init:
+            raise RuntimeError(
+                f"could not load T5 '{name}' (offline image / no cached "
+                f"weights): {e}. Pass allow_random_init=True for a "
+                "randomly-initialised encoder, or use hash_text_encode."
+            ) from e
+        model, tokenizer = _random_init_encoder(name)
     _CACHE[name] = (model, tokenizer)
     return _CACHE[name]
 
@@ -64,12 +119,15 @@ def t5_encode_text(
     name: str = DEFAULT_T5_NAME,
     max_length: int = 256,
     return_attn_mask: bool = False,
+    allow_random_init: bool = False,
 ):
     """Tokenize + encode text; masked positions zeroed (reference
-    t5.py:107-119)."""
+    t5.py:107-119). ``allow_random_init`` runs the genuine HF encoder
+    forward with random weights when pretrained ones can't be fetched."""
     import torch
 
-    model, tokenizer = _get_model_and_tokenizer(name)
+    model, tokenizer = _get_model_and_tokenizer(
+        name, allow_random_init=allow_random_init)
     enc = tokenizer(
         texts, return_tensors="pt", padding="longest",
         max_length=max_length, truncation=True,

@@ -176,3 +176,33 @@ def test_multihost_env_parsing(monkeypatch):
     monkeypatch.setenv("JAX_PROCESS_ID", "2")
     mh.initialize_multihost()
     assert calls == {"addr": "10.0.0.1:1234", "n": 4, "pid": 2}
+
+
+def test_t5_real_encoder_path_random_init():
+    """The genuine HF T5EncoderModel forward runs offline via
+    allow_random_init (same code path as pretrained weights); embeddings
+    are deterministic, masked positions zeroed, mask marks real tokens."""
+    import numpy as np
+    import pytest as _pytest
+
+    _pytest.importorskip("transformers")
+    _pytest.importorskip("torch")
+    import os as _os
+
+    _os.environ.setdefault("HF_HUB_OFFLINE", "1")  # fail fast to the fallback
+    from diffusioniqt_tpu.utils.t5 import t5_encode_text
+
+    emb, mask = t5_encode_text(
+        ["hello volumetric world", "t5"], name="google/t5-v1_1-small",
+        return_attn_mask=True, allow_random_init=True,
+    )
+    assert emb.shape[0] == 2 and emb.shape[2] == 512
+    assert mask.shape == emb.shape[:2]
+    assert mask[0].sum() == 4 and mask[1].sum() == 2  # words + </s>
+    # padded positions zeroed (reference t5.py masking semantics)
+    assert np.all(emb[1, 2:] == 0.0)
+    emb2 = t5_encode_text(
+        ["hello volumetric world", "t5"], name="google/t5-v1_1-small",
+        allow_random_init=True,
+    )
+    np.testing.assert_array_equal(emb, emb2)  # cached singleton
