@@ -562,6 +562,42 @@ class ImagenTrainer:
             return int(getattr(unet, "batch_sample_factor", 3)) ** 3
         return 1
 
+    # kwargs of Imagen.sample that carry arrays (traced); everything else is
+    # static and becomes part of the jit-cache key
+    _SAMPLE_ARRAY_KWARGS = (
+        "start_image_or_video", "cond_images", "inpaint_images",
+        "inpaint_masks", "init_images",
+    )
+
+    def _call_imagen_sample(self, params, key, batch_size: int, kwargs):
+        """Jit-cached ``Imagen.sample`` call.
+
+        ``Imagen.sample`` builds its ``lax.scan`` sampler from fresh closures
+        every call; executed eagerly, XLA's executable cache misses and the
+        20-step loop recompiles per call (~2 min/volume-chunk on the tunnel
+        — measured 495 s vs 42 s for a 192^3 volume). Wrapping the call in a
+        ``jax.jit`` keyed on the static kwargs compiles once per
+        (flags, shapes) combination, the same way the reference's torch
+        sampler reuses its CUDA graphs across ``test.py`` windows."""
+        arrays = {
+            k: kwargs[k] for k in self._SAMPLE_ARRAY_KWARGS
+            if kwargs.get(k) is not None
+        }
+        static = {k: v for k, v in kwargs.items() if k not in arrays}
+        static = {k: tuple(v) if isinstance(v, list) else v
+                  for k, v in static.items()}
+        cache_key = (batch_size, tuple(sorted(static.items(), key=str)))
+        fn = self._sample_fns.get(cache_key)
+        if fn is None:
+            def raw(params, key, arrays):
+                return self.imagen.sample(
+                    params, key, batch_size=batch_size, **static, **arrays
+                )
+
+            fn = jax.jit(raw)
+            self._sample_fns[cache_key] = fn
+        return fn(params, key, arrays)
+
     def _mesh_sample(self, params, key, batch_size: int, kwargs):
         """Shard one sampling call's patch batch over the mesh 'data' axis.
 
@@ -591,9 +627,7 @@ class ImagenTrainer:
         if start is not None:
             sub_kwargs["start_image_or_video"] = jax.device_put(start, b_shard)
         with self.mesh:
-            out = self.imagen.sample(
-                params, key, batch_size=padded, **sub_kwargs
-            )
+            out = self._call_imagen_sample(params, key, padded, sub_kwargs)
         if padded == batch_size:
             return out
         return self._map_sample_outputs(
@@ -641,9 +675,7 @@ class ImagenTrainer:
         if max_batch_size is None or batch_size <= max_batch_size:
             if self.mesh is not None:
                 return self._mesh_sample(params, key, batch_size, kwargs)
-            return self.imagen.sample(
-                params, key, batch_size=batch_size, **kwargs
-            )
+            return self._call_imagen_sample(params, key, batch_size, kwargs)
 
         # chunked sampling
         chunks = -(-batch_size // max_batch_size)
@@ -660,8 +692,8 @@ class ImagenTrainer:
                 )
             else:
                 outs.append(
-                    self.imagen.sample(
-                        params, sub, batch_size=sl.stop - sl.start, **sub_kwargs
+                    self._call_imagen_sample(
+                        params, sub, sl.stop - sl.start, sub_kwargs
                     )
                 )
         if kwargs.get("return_trajectory", False):
