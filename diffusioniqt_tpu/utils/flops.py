@@ -1,0 +1,72 @@
+"""Analytic matmul/conv FLOP accounting by jaxpr traversal.
+
+``Compiled.cost_analysis()`` on the TPU backend counts a ``lax.scan`` body
+exactly once, so any sampler built as a scan (``p_sample_loop``) is
+under-reported by the trip count (20x for the flagship 20-step sampler —
+measured in round 3: cost_analysis 40.5 TF vs true 803.8 TF for the
+8-patch sampler call). This walker multiplies scan bodies by their
+``length`` and recurses through inner jaxprs, counting
+
+  conv_general_dilated : 2 * prod(out_shape) * (k_elems / C_out)
+  dot_general          : 2 * prod(out_shape) * prod(contracted dims)
+
+which are the only FLOP-dense primitives in this framework (validated on
+TPU against the closed form for a single 3^3 conv: exact, while
+cost_analysis reads 6% low even there).
+
+Elementwise FLOPs are deliberately ignored — for roofline accounting the
+MXU terms are the numerator; VPU elementwise work is bandwidth-, not
+FLOP-, limited.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _visit(jaxpr, mult: float, acc: dict) -> None:
+    for eqn in jaxpr.eqns:
+        prim = eqn.primitive.name
+        if prim == "conv_general_dilated":
+            out = eqn.outvars[0].aval
+            rhs = eqn.invars[1].aval
+            cout = rhs.shape[eqn.params["dimension_numbers"].rhs_spec[0]]
+            k_elems = float(np.prod(rhs.shape))
+            f = 2.0 * float(np.prod(out.shape)) * (k_elems / cout)
+            acc["conv"] += mult * f
+        elif prim == "dot_general":
+            lhs = eqn.invars[0].aval
+            out = eqn.outvars[0].aval
+            (contract_l, _), _ = eqn.params["dimension_numbers"]
+            contracted = float(np.prod([lhs.shape[i] for i in contract_l]))
+            acc["dot"] += mult * 2.0 * float(np.prod(out.shape)) * contracted
+        # recurse into sub-jaxprs (pjit/custom_vjp/remat wrap bodies in
+        # 'jaxpr'/'call_jaxpr'; scan repeats its body `length` times — the
+        # generic recursion below counts it once, the scan branch adds the
+        # remaining length-1)
+        for p in ("jaxpr", "call_jaxpr"):
+            sub = eqn.params.get(p)
+            if sub is not None:
+                _visit(getattr(sub, "jaxpr", sub), mult, acc)
+        if prim == "scan":
+            _visit(eqn.params["jaxpr"].jaxpr,
+                   mult * (eqn.params["length"] - 1), acc)
+        elif prim == "cond":
+            # branches alternate; count the first only (they are
+            # cost-symmetric everywhere this framework uses cond)
+            branches = eqn.params.get("branches", ())
+            if branches:
+                _visit(branches[0].jaxpr, mult, acc)
+        elif prim == "while":
+            # trip count is data-dependent; count the body once
+            _visit(eqn.params["body_jaxpr"].jaxpr, mult, acc)
+
+
+def matmul_flops(fn, *args, **kwargs) -> float:
+    """Total conv+dot FLOPs of one call of ``fn(*args, **kwargs)``."""
+    import jax
+
+    closed = jax.make_jaxpr(lambda *a: fn(*a, **kwargs))(*args)
+    acc = {"conv": 0.0, "dot": 0.0}
+    _visit(closed.jaxpr, 1.0, acc)
+    return acc["conv"] + acc["dot"]
