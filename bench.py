@@ -47,21 +47,38 @@ def _flops_of(fn, *args) -> float:
         return 0.0
 
 
-def bench_train(cfg, imagen):
+def bench_train(cfg, imagen=None):
     """Training-side benchmark (VERDICT round-2 item 2): the full jitted
-    train step — grad-accum 4 x 27x32^3 microbatches, Adam, EMA — at the
+    train step — grad-accum over 108x32^3 microbatches, Adam, EMA — at the
     flagship batch_sample+boundary geometry (the reference hot loop,
-    /root/reference/trainer.py:1099-1128)."""
+    /root/reference/trainer.py:1099-1128).
+
+    Round-3 probe result (PERF.md): conv throughput is batch-starved below
+    ~b108, so 1-patch (b27) microbatches reach only 2.15 patches/s while
+    remat + 4-patch (b108) microbatches reach 3.24 — remat's recompute is
+    cheaper than the b27 conv inefficiency, and without remat anything
+    above b27 fails to compile (HBM). b162+ fails even with remat, so
+    8 patches x accum 2 is the known-best single-chip configuration."""
+    import dataclasses
+
+    from diffusioniqt_tpu.diffusion.gaussian import imagen_from_config
+    from diffusioniqt_tpu.models.unet3d import NullUnet, iqt_unet_from_config
     from diffusioniqt_tpu.train.trainer import ImagenTrainer
 
-    accum = 4
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, remat=True))
+    unet = iqt_unet_from_config(cfg)
+    imagen = imagen_from_config(cfg, [NullUnet(), unet])
+
+    patches, accum = 8, 2
     trainer = ImagenTrainer(
         configs=cfg, imagen=imagen, gradient_accumulation_steps=accum,
         use_ema=True, ema_update_every=10, lr=1e-4,
     )
     key = jax.random.PRNGKey(3)
-    # `accum` 96^3 patches; the trainer splits each into 27x32^3 sub-volumes
-    hr = jax.random.normal(key, (accum, 96, 96, 96, 1), jnp.float32)
+    # 96^3 patches; the trainer splits each into 27x32^3 sub-volumes and
+    # chunks `patches/accum` of them into each grad-accum microbatch
+    hr = jax.random.normal(key, (patches, 96, 96, 96, 1), jnp.float32)
     lr_img = jax.random.normal(jax.random.fold_in(key, 1), hr.shape,
                                jnp.float32)
     batch = (hr, lr_img)
@@ -75,6 +92,7 @@ def bench_train(cfg, imagen):
     elapsed = time.perf_counter() - t0  # train_step returns float(loss): synced
 
     steps_per_sec = iters / elapsed
+    mb = 27 * patches // accum
     flops = 0.0
     if trainer._train_step_fns:
         fn = next(iter(trainer._train_step_fns.values()))
@@ -83,16 +101,18 @@ def bench_train(cfg, imagen):
             flops = _flops_of(
                 fn, trainer.params[i], trainer.opt_states[i],
                 jax.random.PRNGKey(0),
-                jnp.zeros((accum, 27, 32, 32, 32, 1), jnp.float32),
-                jnp.zeros((accum, 27, 32, 32, 32, 1), jnp.float32),
+                jnp.zeros((accum, mb, 32, 32, 32, 1), jnp.float32),
+                jnp.zeros((accum, mb, 32, 32, 32, 1), jnp.float32),
             )
         except Exception:
             flops = 0.0
     tflops = flops * steps_per_sec / 1e12
     return {
         "train_steps_per_sec": round(steps_per_sec, 4),
-        "train_patches_per_sec": round(steps_per_sec * accum, 4),
+        "train_patches_per_sec": round(steps_per_sec * patches, 4),
         "train_grad_accum": accum,
+        "train_microbatch_subvols": mb,
+        "train_remat": True,
         "train_achieved_tflops": round(tflops, 2),
         "train_pct_of_roofline": round(100.0 * tflops / _V5E_PEAK_TFLOPS, 1),
         "train_last_loss": round(float(loss), 5),
