@@ -61,7 +61,9 @@ def flagship_cfg(quick: bool = False):
     return cfg
 
 
-def build_trainer(cfg, accum=4):
+def build_trainer(cfg, accum=4, remat=False):
+    if remat:
+        cfg.train.remat = True
     from diffusioniqt_tpu.diffusion.gaussian import imagen_from_config
     from diffusioniqt_tpu.models.unet3d import NullUnet, iqt_unet_from_config
     from diffusioniqt_tpu.train.trainer import ImagenTrainer
@@ -84,6 +86,15 @@ def main():
     ap.add_argument("--size", type=int, default=192)
     ap.add_argument("--batch-patches", type=int, default=4,
                     help="96^3 patches per optimizer step (accum microbatches)")
+    ap.add_argument("--accum", type=int, default=4,
+                    help="grad-accum chunks; microbatch = batch-patches/accum "
+                         "(PERF.md round 3: b108 microbatches = "
+                         "--batch-patches 8 --accum 2 --remat, +50%)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize ResnetBlocks (needed for >27 "
+                         "sub-volume microbatches)")
+    ap.add_argument("--resume", default=None,
+                    help="checkpoint bundle to resume from (trainer.load)")
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--ckpt-every", type=int, default=1000)
     ap.add_argument("--eval-volumes", type=int, default=2)
@@ -117,8 +128,13 @@ def main():
 
     ds = SyntheticIQTDataset(cfg, seed=0, samples_per_volume=8, pairs=pairs)
 
-    trainer = build_trainer(cfg, accum=4 if not args.quick else 1)
+    trainer = build_trainer(cfg, accum=args.accum if not args.quick else 1,
+                            remat=args.remat)
     trainer.add_train_dataset(ds, batch_size=args.batch_patches)
+    if args.resume:
+        trainer.load(args.resume)
+        print(f"resumed from {args.resume} at step "
+              f"{np.asarray(trainer.steps).tolist()}", flush=True)
 
     print(f"config: dim={cfg.train.dim} steps={args.steps} "
           f"mean={mean:.2f} std={std:.2f}", flush=True)
