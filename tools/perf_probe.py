@@ -1,8 +1,22 @@
 """TPU perf probes for the round-3 close-out (VERDICT round-2 item 5).
 
-Measures, at the flagship shape (216x32^3 c64 bf16, the 8-patch sampler
-batch), with the chained-iterations-in-one-jit methodology PERF.md
-prescribes (single calls carry ~30 ms dispatch+sync on the axon tunnel):
+Modes (run AFTER any other TPU user finishes; each prints JSON):
+
+  python tools/perf_probe.py             # chained component probe (below)
+  python tools/perf_probe.py --barrier   # TRUE per-op costs (see warning)
+  python tools/perf_probe.py --flops     # conv inventory + analytic FLOPs
+  python tools/perf_probe.py --loader    # host-loader overlap measurement
+
+METHODOLOGY WARNING (PERF.md round 3): plain chained iterations of an
+*elementwise* op fold into one XLA pass — an x+1 chain costs the same
+whether it has 1 or 64 links — so the default chained mode is only valid
+for ops XLA cannot fold (convs, distinct-producer chains). The
+``--barrier`` mode is the corrected probe: it places
+``jax.lax.optimization_barrier`` between links and fits a line through
+two chain lengths, so the slope is the true per-op cost and the ~33-42 ms
+tunnel dispatch overhead lands in the intercept.
+
+The default mode measures, at the flagship shape (216x32^3 c64 bf16):
 
   1. the full XLA block-unit chain [GN -> scale-shift -> mish -> halo ->
      VALID conv] and its pieces (GN+mish pass, halo concat sweep, conv);
@@ -10,9 +24,6 @@ prescribes (single calls carry ~30 ms dispatch+sync on the axon tunnel):
      (decides if a halo-first + affine-into-conv reorder can win);
   3. the SE3D gating unit;
   4. HBM-floor estimates for each, from measured marginal bandwidth.
-
-Run AFTER any other TPU user finishes: `python tools/perf_probe.py`.
-Prints a JSON summary; paste into PERF.md.
 """
 
 from __future__ import annotations
@@ -124,9 +135,165 @@ def loader_overlap_probe():
     print(json.dumps(out, indent=2))
 
 
+def _flagship():
+    """Flagship model + inputs at bench geometry (8 patches = b216)."""
+    from diffusioniqt_tpu.config import Config
+    from diffusioniqt_tpu.diffusion.gaussian import imagen_from_config
+    from diffusioniqt_tpu.models.unet3d import NullUnet, iqt_unet_from_config
+
+    cfg = Config()
+    cfg.train.batch_sample = True
+    cfg.train.boundary = True
+    cfg.train.patch_size_sub = 32
+    cfg.train.timesteps = 20
+    cfg.train.pred_obj = "x_start"
+    cfg.train.dynamic_threshold = False
+    cfg.train.compute_dtype = (
+        "bfloat16" if jax.default_backend() == "tpu" else "float32")
+    unet = iqt_unet_from_config(cfg)
+    imagen = imagen_from_config(cfg, [NullUnet(), unet])
+    params = imagen.init_params(jax.random.PRNGKey(0), batch_size=27)
+    batch = 27 * 8
+    lowres = jnp.zeros((batch, 32, 32, 32, 1), jnp.float32)
+    return cfg, unet, imagen, params, lowres, batch
+
+
+def flops_probe():
+    """Conv inventory of the flagship forward + analytic FLOP totals for
+    the forward and the 20-step sampler (the numbers behind PERF.md's
+    round-3 roofline; validates utils/flops.py against the model)."""
+    import numpy as np
+
+    from diffusioniqt_tpu.utils.flops import matmul_flops
+
+    cfg, unet, imagen, params, lowres, batch = _flagship()
+    xt = jnp.zeros((batch, 32, 32, 32, 1), jnp.float32)
+    t = jnp.zeros((batch,), jnp.float32)
+
+    fwd = lambda p, x_, t_, lr_: unet.apply(p, x_, t_, t_,  # noqa: E731
+                                            lowres_cond_img=lr_)
+    jx = jax.make_jaxpr(fwd)(params[1], xt, t, lowres)
+
+    convs = {}
+
+    def visit(jaxpr):
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "conv_general_dilated":
+                lhs = eqn.invars[0].aval.shape
+                rhs = eqn.invars[1].aval.shape
+                out = eqn.outvars[0].aval.shape
+                cout = rhs[eqn.params["dimension_numbers"].rhs_spec[0]]
+                f = 2.0 * float(np.prod(out)) * float(np.prod(rhs)) / cout
+                k = f"in{lhs} k{rhs} out{out}"
+                convs.setdefault(k, {"n": 0, "tf_each": round(f / 1e12, 4)})
+                convs[k]["n"] += 1
+            for p in ("jaxpr", "call_jaxpr"):
+                sub = eqn.params.get(p)
+                if sub is not None:
+                    visit(getattr(sub, "jaxpr", sub))
+
+    visit(jx.jaxpr)
+    fwd_tf = matmul_flops(fwd, params[1], xt, t, lowres) / 1e12
+
+    def sample_fn(p1, key, lr_):
+        return imagen.p_sample_loop(
+            imagen.unets[1], p1, key, (batch, 32, 32, 32, 1),
+            noise_scheduler=imagen.noise_schedulers[1],
+            lowres_cond_img=lr_, pred_objective="x_start",
+            dynamic_threshold=False)
+
+    sampler_tf = matmul_flops(
+        sample_fn, params[1], jax.random.PRNGKey(1), lowres) / 1e12
+    print(json.dumps({
+        "conv_inventory": dict(sorted(
+            convs.items(), key=lambda kv: -kv[1]["n"] * kv[1]["tf_each"])),
+        "forward_tf_b216": round(fwd_tf, 2),
+        "forward_tf_per_patch": round(fwd_tf / 8, 3),
+        "sampler_20step_tf": round(sampler_tf, 1),
+    }, indent=1))
+
+
+def barrier_probe():
+    """Corrected per-op costs: optimization_barrier between chain links,
+    two-length linear fit (slope = per-op ms, intercept = dispatch
+    overhead). Source of PERF.md's round-3 per-op table."""
+    x = jax.random.normal(
+        jax.random.PRNGKey(0), (B, S, S, S, C), jnp.float32).astype(DT)
+    scale = jnp.ones((C,), jnp.float32)
+    a = jnp.full((B, 1, 1, 1, C), 1.01, DT)
+    bsh = jnp.full((B, 1, 1, 1, C), .01, DT)
+    k3 = jax.random.normal(
+        jax.random.PRNGKey(1), (3, 3, 3, C, C), jnp.float32).astype(DT) * .05
+    n_elems = B * S ** 3 * C
+    gb = n_elems * 2 / 1e9
+
+    def timed_total(fn, *args, iters=6):
+        j = jax.jit(fn)
+        float(jnp.sum(j(*args)))
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(jnp.sum(j(*args)))
+            best = min(best, time.perf_counter() - t0)
+        return best * 1e3
+
+    def chain(fn, inner):
+        def c(v):
+            for _ in range(inner):
+                v = jax.lax.optimization_barrier(fn(v))
+            return v
+        return c
+
+    def per_op(fn, i1=4, i2=16):
+        t1 = timed_total(chain(fn, i1), x)
+        t2 = timed_total(chain(fn, i2), x)
+        slope = (t2 - t1) / (i2 - i1)
+        return slope, t1 - i1 * slope
+
+    conv_same = functools.partial(
+        jax.lax.conv_general_dilated, window_strides=(1, 1, 1),
+        padding="SAME", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=DT)
+    conv_valid = functools.partial(
+        jax.lax.conv_general_dilated, window_strides=(1, 1, 1),
+        padding="VALID", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=DT)
+
+    ops = {
+        "add1": lambda v: v + DT(1.0),
+        "affine_mish": lambda v: mish(v * a + bsh),
+        "gn": lambda v: subvol_group_norm(v, scale, 1, 1),
+        "gn_affine_mish": lambda v: mish(
+            subvol_group_norm(v, scale, 1, 1) * a + bsh),
+        "same_conv": lambda v: conv_same(v, k3),
+        "halo_validconv": lambda v: conv_valid(halo_exchange(v), k3),
+        "block_unit": lambda v: conv_valid(halo_exchange(
+            mish(subvol_group_norm(v, scale, 1, 1) * a + bsh)), k3),
+    }
+    res = {"overhead_tiny_identity_ms": round(
+        timed_total(lambda v: v, jnp.ones((8, 128), DT)), 2)}
+    conv_flops = 2.0 * n_elems * C * 27
+    for name, f in ops.items():
+        ms, ovh = per_op(f)
+        entry = {"ms": round(ms, 2), "fit_overhead_ms": round(ovh, 1)}
+        if "conv" in name or "unit" in name:
+            entry["tflops"] = round(conv_flops / (ms / 1e3) / 1e12, 1)
+        else:
+            entry["gbps_rw"] = round(2 * gb / (ms / 1e3), 1)
+        res[name] = entry
+    res["backend"] = jax.default_backend()
+    print(json.dumps(res, indent=1))
+
+
 def main():
     if "--loader" in sys.argv:
         loader_overlap_probe()
+        return
+    if "--flops" in sys.argv:
+        flops_probe()
+        return
+    if "--barrier" in sys.argv:
+        barrier_probe()
         return
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (B, S, S, S, C), jnp.float32).astype(DT)
