@@ -47,7 +47,7 @@ def _flops_of(fn, *args) -> float:
         return 0.0
 
 
-def bench_train(cfg, imagen=None):
+def bench_train(cfg):
     """Training-side benchmark (VERDICT round-2 item 2): the full jitted
     train step — grad-accum over 108x32^3 microbatches, Adam, EMA — at the
     flagship batch_sample+boundary geometry (the reference hot loop,
@@ -217,7 +217,7 @@ def main():
     # on TPU by default, or when forced with --train; skip with --no-train.
     train_aux = {}
     if "--no-train" not in sys.argv and (on_tpu or "--train" in sys.argv):
-        train_aux = bench_train(cfg, imagen)
+        train_aux = bench_train(cfg)
 
     # full-volume projection: 240^3 brain volume, 96^3 windows, stride 32
     # (reference test.py:151-153 crops 256^3 -> 240^3; eval overlap=32)
