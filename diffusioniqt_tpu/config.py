@@ -132,6 +132,10 @@ class TrainConfig:
     edm_s_churn: float = 80.0
     # rematerialize ResnetBlocks on backward (activation memory lever)
     remat: bool = False
+    # host->device batch transfer dtype ('bfloat16' halves H2D bytes —
+    # decisive on slow links; inputs are cast to the bf16 compute dtype
+    # on-device anyway, only loss targets see the quantization)
+    transfer_dtype: Optional[str] = None
     # exp-weighted non-uniform sampling timesteps (the reference's
     # commented-out capability, imagen_pytorch3D.py:268-288 + :2098)
     non_uniform_sampling: bool = False

@@ -71,13 +71,19 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
                  drop_last: bool = False, collate_fn=collate_drop_none,
-                 seed: int = 0, prefetch: int = 0):
+                 seed: int = 0, prefetch: int = 0, worker_map=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.collate_fn = collate_fn
         self.prefetch = prefetch
+        # applied to each collated batch before it is handed to the
+        # consumer; with prefetch > 0 it runs on the worker thread, so an
+        # expensive map (dtype cast + jax.device_put) overlaps device
+        # compute — host->device prefetch, the TPU analog of torch's
+        # pin_memory+non_blocking copies
+        self.worker_map = worker_map
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -103,4 +109,6 @@ class DataLoader:
             batch = self.collate_fn([self.dataset[int(i)] for i in idx])
             if batch is None:
                 continue
+            if self.worker_map is not None:
+                batch = self.worker_map(batch)
             yield batch

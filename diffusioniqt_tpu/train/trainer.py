@@ -231,8 +231,28 @@ class ImagenTrainer:
 
         self.add_train_dataloader(
             DataLoader(dataset, batch_size=batch_size, shuffle=True,
-                       prefetch=prefetch)
+                       prefetch=prefetch,
+                       worker_map=self._transfer_map(prefetch))
         )
+
+    def _transfer_map(self, prefetch: int):
+        """Loader worker-thread map: cast to ``Train.transfer_dtype`` and
+        start the H2D copy ahead of consumption, so the transfer overlaps
+        the previous step's device compute (H2D through the axon tunnel is
+        ~9-24 MB/s — serial fp32 batch transfers dominate the train step
+        without this; PERF.md round 3). Single-process only: on multi-host
+        meshes ``train_step`` must slice the host batch first."""
+        td = self.configs.train.transfer_dtype if self.configs else None
+        if td is None or prefetch <= 0 or jax.process_count() > 1:
+            return None
+        tdt = jnp.dtype(td)
+
+        def to_device(batch):
+            return tuple(
+                jnp.asarray(np.asarray(a).astype(tdt)) for a in batch
+            )
+
+        return to_device
 
     def add_valid_dataset(self, dataset, *, batch_size: int):
         from diffusioniqt_tpu.data.loader import DataLoader
@@ -310,9 +330,16 @@ class ImagenTrainer:
 
     def train_step(self, unet_number: Optional[int] = None,
                    max_batch_size: Optional[int] = None,
-                   batch: Optional[Tuple] = None, **kwargs) -> float:
+                   batch: Optional[Tuple] = None, sync: bool = True,
+                   **kwargs) -> float:
         """One optimization step. Pulls a batch from the registered training
-        dataloader unless ``batch=(hr, lr)`` is given (channels-last)."""
+        dataloader unless ``batch=(hr, lr)`` is given (channels-last).
+
+        ``sync=False`` returns the loss as a device scalar instead of a
+        float, so consecutive steps pipeline: the next batch's host prep and
+        H2D transfer overlap the current step's device compute (on the axon
+        tunnel this is a ~4x wall-clock lever; convert the returned losses
+        with ``float()`` at logging boundaries only)."""
         unet_number = self.validate_unet_number(unet_number)
         index = unet_number - 1
 
@@ -324,7 +351,18 @@ class ImagenTrainer:
                 self._train_iter = _cycle(self.train_dl)
             batch = next(self._train_iter)
 
-        hr, lr_img = jnp.asarray(batch[0]), jnp.asarray(batch[1])
+        td = self.configs.train.transfer_dtype if self.configs else None
+        if td is not None and not isinstance(batch[0], jax.Array):
+            # halve H2D bytes on slow links: cast on host (numpy+ml_dtypes),
+            # transfer narrow. Inputs are cast to the compute dtype on-device
+            # anyway; only loss targets see the quantization. (Batches from
+            # a prefetching loader arrive as device arrays already — see
+            # _transfer_map — and skip this path.)
+            tdt = jnp.dtype(td)
+            hr = jnp.asarray(np.asarray(batch[0]).astype(tdt))
+            lr_img = jnp.asarray(np.asarray(batch[1]).astype(tdt))
+        else:
+            hr, lr_img = jnp.asarray(batch[0]), jnp.asarray(batch[1])
         hr, lr_img = self._maybe_batch_sample_split(hr, lr_img)
 
         if self.mesh is not None and jax.process_count() > 1:
@@ -409,7 +447,7 @@ class ImagenTrainer:
         ):
             self.save_to_checkpoint_folder()
 
-        return float(loss)
+        return float(loss) if sync else loss
 
     def update(self, unet_number: Optional[int] = None):
         """No-op kept for API parity: the reference's ``update`` applies the

@@ -206,3 +206,27 @@ def test_valid_step_sample_chunked(trained):
     assert np.isfinite(losses).all()
     assert preds.shape == hrs.shape == lrs.shape
     assert np.isfinite(ssim) and np.isfinite(psnr)
+
+
+def test_async_step_and_transfer_dtype():
+    """sync=False returns a device scalar (pipelined stepping) and
+    transfer_dtype='bfloat16' halves the H2D bytes; training still
+    converges to the same ballpark as the fp32 sync path."""
+    cfg = tiny_cfg()
+    cfg.train.transfer_dtype = "bfloat16"
+    imagen = tiny_imagen(cfg)
+    trainer = ImagenTrainer(
+        configs=cfg, imagen=imagen, gradient_accumulation_steps=2,
+        ema_update_after_step=1, ema_update_every=1, lr=2e-3,
+    )
+    trainer.add_train_dataset(FakeIQTDataset(size=8, length=8, seed=0),
+                              batch_size=4)
+
+    losses = [trainer.train_step(unet_number=2, sync=False)
+              for _ in range(8)]
+    # device scalars, not floats, until explicitly converted
+    assert not isinstance(losses[0], float)
+    vals = [float(x) for x in losses]
+    assert all(np.isfinite(v) for v in vals)
+    assert np.mean(vals[-3:]) < np.mean(vals[:3])  # converging
+    assert trainer.steps[1] == 8

@@ -95,6 +95,9 @@ def main():
                          "sub-volume microbatches)")
     ap.add_argument("--resume", default=None,
                     help="checkpoint bundle to resume from (trainer.load)")
+    ap.add_argument("--transfer-dtype", default=None,
+                    help="host->device batch dtype, e.g. bfloat16 (halves "
+                         "H2D bytes; decisive on slow tunnels, see PERF.md)")
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--ckpt-every", type=int, default=1000)
     ap.add_argument("--eval-volumes", type=int, default=2)
@@ -128,6 +131,8 @@ def main():
 
     ds = SyntheticIQTDataset(cfg, seed=0, samples_per_volume=8, pairs=pairs)
 
+    if args.transfer_dtype:
+        cfg.train.transfer_dtype = args.transfer_dtype
     trainer = build_trainer(cfg, accum=args.accum if not args.quick else 1,
                             remat=args.remat)
     trainer.add_train_dataset(ds, batch_size=args.batch_patches)
@@ -144,11 +149,16 @@ def main():
     t0 = time.time()
     with open(csv_path, "w") as fh:
         fh.write("step,loss,seconds\n")
+        pending = []  # (step, device-loss) — sync only at log boundaries
         for step in range(1, args.steps + 1):
-            loss = trainer.train_step(unet_number=2)
-            losses.append(loss)
-            fh.write(f"{step},{loss:.6f},{time.time() - t0:.1f}\n")
-            if step % args.log_every == 0 or step == 1:
+            loss = trainer.train_step(unet_number=2, sync=False)
+            pending.append((step, loss))
+            if step % args.log_every == 0 or step == 1 or step == args.steps:
+                for s, dl in pending:
+                    v = float(dl)
+                    losses.append(v)
+                    fh.write(f"{s},{v:.6f},{time.time() - t0:.1f}\n")
+                pending = []
                 fh.flush()
                 recent = np.mean(losses[-args.log_every:])
                 print(f"step {step}/{args.steps} loss {recent:.5f} "
