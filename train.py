@@ -150,18 +150,26 @@ def main():
             for vals in zip(*rows.values()):
                 w.writerow(vals)
 
+    def drain(ls):
+        # sync=False keeps losses as device scalars so steps pipeline
+        # (H2D transfer overlaps compute); convert once at log boundaries
+        for j in range(len(ls)):
+            if not isinstance(ls[j], float):
+                ls[j] = float(ls[j])
+
     for i in range(args.steps):
         loss = trainer.train_step(unet_number=2,
-                                  max_batch_size=cfg.train.batch_size)
+                                  max_batch_size=cfg.train.batch_size,
+                                  sync=False)
         train_ls.append(loss)
-        if main_proc:
-            write_csv(os.path.join(log_dir, cfg.train.save_file),
-                      {"loss": train_ls})
         trainer.update(unet_number=2)
 
         if i % args.eval_every == 0:
+            drain(train_ls)
             if main_proc:
-                print(f"unet: 2, Step: {i}, loss: {loss}")
+                write_csv(os.path.join(log_dir, cfg.train.save_file),
+                          {"loss": train_ls})
+                print(f"unet: 2, Step: {i}, loss: {train_ls[-1]}")
             valid_loss, preds, condi1, data, ssim, psnr = trainer.valid_step(
                 unet_number=2, max_batch_size=cfg.eval.batch_size
             )
@@ -192,7 +200,10 @@ def main():
                     trainer.save(os.path.join(project_path, cfg.model_dir,
                                               cfg.train.save_model))
 
+    drain(train_ls)
     if main_proc:
+        write_csv(os.path.join(log_dir, cfg.train.save_file),
+                  {"loss": train_ls})
         trainer.save(os.path.join(project_path, cfg.model_dir,
                                   cfg.train.save_last_model))
     print("Training done")
