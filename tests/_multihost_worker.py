@@ -52,6 +52,16 @@ def main():
         gradient_accumulation_steps=1, lr=2e-3,
     )
 
+    # rendezvous via the coordination service (gRPC, minutes-scale timeout)
+    # BEFORE the first cross-process collective: Gloo context init inside
+    # device_put has a hard ~30 s deadline, and on a loaded 1-core box the
+    # two workers can skew past it during tracing/compilation (observed as
+    # 'Gloo context initialization failed: DEADLINE_EXCEEDED')
+    from jax._src import distributed
+
+    distributed.global_state.client.wait_at_barrier(
+        "worker_ready", timeout_in_ms=600_000)
+
     rng = np.random.default_rng(0)  # same global batch on every process
     losses = []
     for step in range(3):

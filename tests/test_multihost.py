@@ -26,8 +26,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_training_matches_single_process():
+def _run_worker_pair():
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
@@ -42,11 +41,25 @@ def test_two_process_training_matches_single_process():
         )
         for rank in range(2)
     ]
-    outs = []
+    outs, codes = [], []
     for p in procs:
         out, _ = p.communicate(timeout=900)
         outs.append(out)
-        assert p.returncode == 0, f"worker failed:\n{out}"
+        codes.append(p.returncode)
+    return outs, codes
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process():
+    outs, codes = _run_worker_pair()
+    if any(c != 0 for c in codes) and any(
+            "DEADLINE_EXCEEDED" in o for o in outs):
+        # Gloo rendezvous has a hard ~30 s deadline; on a loaded 1-core box
+        # cold compiles can skew the workers past it. Retry once — second
+        # attempt runs from warm compile caches.
+        outs, codes = _run_worker_pair()
+    for out, code in zip(outs, codes):
+        assert code == 0, f"worker failed:\n{out}"
 
     losses = []
     for out in outs:
