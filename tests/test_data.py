@@ -164,6 +164,39 @@ def test_prefetch_loader_matches_sync_and_propagates_errors():
         list(DataLoader(BadDS(), batch_size=1, prefetch=2))
 
 
+def test_loader_worker_map_applied_on_worker_thread():
+    """worker_map transforms each batch before the consumer sees it, and
+    with prefetch>0 it runs on the prefetch worker thread (device-prefetch
+    hook used by ImagenTrainer when Train.transfer_dtype is set)."""
+    import threading
+
+    from diffusioniqt_tpu.data.loader import DataLoader
+
+    class TinyDS:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return (np.full((2,), i, np.float32),)
+
+    main_thread = threading.current_thread()
+    seen_threads = []
+
+    def wmap(batch):
+        seen_threads.append(threading.current_thread())
+        return tuple(a * 10.0 for a in batch)
+
+    out = list(DataLoader(TinyDS(), batch_size=2, prefetch=2,
+                          worker_map=wmap))
+    assert len(out) == 2
+    np.testing.assert_array_equal(out[0][0], [[0., 0.], [10., 10.]])
+    assert all(t is not main_thread for t in seen_threads)
+
+    # prefetch=0: map still applied, inline
+    out_sync = list(DataLoader(TinyDS(), batch_size=2, worker_map=wmap))
+    np.testing.assert_array_equal(out_sync[0][0], out[0][0])
+
+
 def test_synthetic_phantom_pair_properties():
     """Synthetic LR/HR phantoms (data/synthetic.py): zero background,
     positive brain intensities, LR correlated-but-degraded, crops normalize
