@@ -66,7 +66,8 @@ def bench_train(cfg):
     from diffusioniqt_tpu.train.trainer import ImagenTrainer
 
     cfg = dataclasses.replace(cfg, train=dataclasses.replace(
-        cfg.train, remat=True))
+        cfg.train, remat=True,
+        remat_policy=os.environ.get("BENCH_REMAT_POLICY") or None))
     unet = iqt_unet_from_config(cfg)
     imagen = imagen_from_config(cfg, [NullUnet(), unet])
 

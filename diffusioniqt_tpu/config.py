@@ -132,6 +132,11 @@ class TrainConfig:
     edm_s_churn: float = 80.0
     # rematerialize ResnetBlocks on backward (activation memory lever)
     remat: bool = False
+    # remat policy: None = full-block recompute (max memory savings);
+    # 'conv' = save conv inputs/outputs and recompute only the cheap
+    # GN/Mish/SE chain on backward — near-zero FLOP recompute at ~half
+    # the activation-memory savings (jax save_only_these_names)
+    remat_policy: Optional[str] = None
     # host->device batch transfer dtype ('bfloat16' halves H2D bytes —
     # decisive on slow links; inputs are cast to the bf16 compute dtype
     # on-device anyway, only loss targets see the quantization)

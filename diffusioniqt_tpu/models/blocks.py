@@ -25,6 +25,7 @@ from typing import Any, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from diffusioniqt_tpu.ops.volume import (
     halo_exchange,
@@ -220,10 +221,17 @@ class Block(nn.Module):
             padding = "VALID"
         else:
             padding = "SAME"
-        return nn.Conv(
-            self.dim_out, kernel_size=(3, 3, 3), padding=padding,
-            dtype=self.dtype,
-        )(x)
+        # named for the selective remat policy (UNet3D.remat_policy='conv'):
+        # saving conv inputs+outputs makes backward recompute only the
+        # GN/Mish chain above, not the MXU-heavy convolutions
+        x = checkpoint_name(x, "conv_in")
+        return checkpoint_name(
+            nn.Conv(
+                self.dim_out, kernel_size=(3, 3, 3), padding=padding,
+                dtype=self.dtype,
+            )(x),
+            "conv_out",
+        )
 
     def _fused_pallas(self, x: jnp.ndarray, scale_shift) -> jnp.ndarray:
         """One Pallas kernel for [GN -> scale-shift -> Mish -> halo -> conv]
@@ -309,7 +317,11 @@ class ResnetBlock(nn.Module):
                      dtype=self.dtype)(h)
 
         if x.shape[-1] != self.dim_out:
-            x = nn.Conv(self.dim_out, kernel_size=(1, 1, 1), dtype=self.dtype)(x)
+            x = checkpoint_name(
+                nn.Conv(self.dim_out, kernel_size=(1, 1, 1),
+                        dtype=self.dtype)(x),
+                "conv_out",
+            )
         return h + x
 
 

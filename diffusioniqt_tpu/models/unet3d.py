@@ -33,6 +33,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -123,6 +124,10 @@ class UNet3D(nn.Module):
     # trades ~30% more FLOPs for activation memory, the standard TPU lever
     # for training models larger than HBM allows
     remat: bool = False
+    # None = full-block recompute; 'conv' = keep conv inputs/outputs
+    # (checkpoint_name tags in blocks.Block) and recompute only the
+    # bandwidth-bound GN/Mish/SE chain — no MXU recompute
+    remat_policy: Optional[str] = None
 
     dtype: Optional[Dtype] = None
 
@@ -276,7 +281,17 @@ class UNet3D(nn.Module):
 
         rb = dict(boundary=self.boundary, factor=self.batch_sample_factor,
                   merged=merged, use_pallas=self.use_pallas, dtype=self.dtype)
-        resnet_block = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        if self.remat:
+            policy = None
+            if self.remat_policy == "conv":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "conv_in", "conv_out")
+            elif self.remat_policy is not None:
+                raise ValueError(
+                    f"unknown remat_policy {self.remat_policy!r}")
+            resnet_block = nn.remat(ResnetBlock, policy=policy)
+        else:
+            resnet_block = ResnetBlock
 
         # --- down path (reference :1363-1414, :1604-1629) -----------------
         hiddens = []
@@ -473,5 +488,6 @@ def iqt_unet_from_config(cfg) -> UNet3D:
         deep_feature=train.deep_feature,
         use_pallas=train.use_pallas,
         remat=train.remat,
+        remat_policy=train.remat_policy,
         dtype=jnp.bfloat16 if train.compute_dtype == "bfloat16" else jnp.float32,
     )

@@ -222,3 +222,19 @@ def test_remat_identical_forward_and_grads():
                     jax.tree_util.tree_leaves(g_remat)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-6)
+
+    # selective policy (save conv_in/conv_out, recompute GN/Mish only) —
+    # same math again, different residual set
+    conv_policy = dataclasses.replace(plain, remat=True, remat_policy="conv")
+    l_pol, g_pol = jax.value_and_grad(lambda p: loss(conv_policy, p))(params)
+    np.testing.assert_allclose(float(l_pol), float(l_plain), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_plain),
+                    jax.tree_util.tree_leaves(g_pol)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="remat_policy"):
+        bad = dataclasses.replace(plain, remat=True, remat_policy="nope")
+        bad.apply(params, x, t, t, lowres_cond_img=lr)

@@ -61,9 +61,10 @@ def flagship_cfg(quick: bool = False):
     return cfg
 
 
-def build_trainer(cfg, accum=4, remat=False):
+def build_trainer(cfg, accum=4, remat=False, remat_policy=None):
     if remat:
         cfg.train.remat = True
+        cfg.train.remat_policy = remat_policy
     from diffusioniqt_tpu.diffusion.gaussian import imagen_from_config
     from diffusioniqt_tpu.models.unet3d import NullUnet, iqt_unet_from_config
     from diffusioniqt_tpu.train.trainer import ImagenTrainer
@@ -93,6 +94,10 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize ResnetBlocks (needed for >27 "
                          "sub-volume microbatches)")
+    ap.add_argument("--remat-policy", default=None,
+                    help="'conv' saves conv inputs/outputs so backward "
+                         "recomputes only the GN/Mish chain (no MXU "
+                         "recompute); default full-block recompute")
     ap.add_argument("--resume", default=None,
                     help="checkpoint bundle to resume from (trainer.load)")
     ap.add_argument("--transfer-dtype", default=None,
@@ -134,7 +139,7 @@ def main():
     if args.transfer_dtype:
         cfg.train.transfer_dtype = args.transfer_dtype
     trainer = build_trainer(cfg, accum=args.accum if not args.quick else 1,
-                            remat=args.remat)
+                            remat=args.remat, remat_policy=args.remat_policy)
     trainer.add_train_dataset(ds, batch_size=args.batch_patches)
     if args.resume:
         trainer.load(args.resume)
