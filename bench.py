@@ -114,6 +114,7 @@ def bench_train(cfg):
         "train_grad_accum": accum,
         "train_microbatch_subvols": mb,
         "train_remat": True,
+        "train_remat_policy": os.environ.get("BENCH_REMAT_POLICY") or None,
         "train_achieved_tflops": round(tflops, 2),
         "train_pct_of_roofline": round(100.0 * tflops / _V5E_PEAK_TFLOPS, 1),
         "train_last_loss": round(float(loss), 5),
