@@ -108,7 +108,17 @@ def main():
     ap.add_argument("--eval-volumes", type=int, default=2)
     ap.add_argument("--quick", action="store_true",
                     help="tiny CPU smoke (dim 16, 96^3 phantoms, 20 steps)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon TPU plugin "
+                         "registers from sitecustomize and hangs when the "
+                         "tunnel is down; both the env var and the config "
+                         "update are required to override it)")
     args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     if args.quick:
         args.steps = min(args.steps, 6)
