@@ -111,6 +111,18 @@ def build_trainer_2d(dim, crop, timesteps, mean, std, lr_rate, dtype):
     )
 
 
+def _atomic_save(trainer, ckpt_dir: str):
+    """Write the bundle next to ckpt_dir, then swap it in — a kill mid-save
+    can't destroy the previous rolling checkpoint."""
+    import shutil
+
+    tmp = ckpt_dir + ".tmp"
+    trainer.save(tmp)
+    if os.path.exists(ckpt_dir):
+        shutil.rmtree(ckpt_dir)
+    os.replace(tmp, ckpt_dir)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=600)
@@ -125,6 +137,13 @@ def main():
     ap.add_argument("--sample-timesteps", type=int, default=20)
     ap.add_argument("--eval-slices", type=int, default=32)
     ap.add_argument("--log-every", type=int, default=25)
+    ap.add_argument("--ckpt-every", type=int, default=500,
+                    help="save a rolling checkpoint every N steps so long "
+                         "runs survive interruption (0 disables)")
+    ap.add_argument("--resume", default=None,
+                    help="checkpoint dir to load before training")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="skip training; evaluate --resume checkpoint")
     ap.add_argument("--quick", action="store_true",
                     help="tiny smoke: dim 8, 32^2 crops, 6 steps")
     ap.add_argument("--cpu", action="store_true",
@@ -163,25 +182,37 @@ def main():
     print(f"config: dim={args.dim} crop={args.crop} slices={len(ds)} "
           f"mean={mean:.2f} std={std:.2f}", flush=True)
 
+    if args.resume:
+        trainer.load(args.resume)
+        print(f"resumed from {args.resume} at step "
+              f"{int(trainer.steps[1])}", flush=True)
+
     losses = []
-    t0 = time.time()
-    with open(os.path.join(args.out, "train_loss.csv"), "w") as fh:
-        fh.write("step,loss,seconds\n")
-        pending = []
-        for step in range(1, args.steps + 1):
-            pending.append((step, trainer.train_step(unet_number=2,
-                                                     sync=False)))
-            if step % args.log_every == 0 or step in (1, args.steps):
-                for s, dl in pending:
-                    v = float(dl)
-                    losses.append(v)
-                    fh.write(f"{s},{v:.6f},{time.time() - t0:.1f}\n")
-                pending = []
-                fh.flush()
-                print(f"step {step}/{args.steps} "
-                      f"loss {np.mean(losses[-args.log_every:]):.5f} "
-                      f"({time.time() - t0:.0f}s)", flush=True)
-    trainer.save(os.path.join(args.out, "ckpt"))
+    if not args.eval_only:
+        ckpt_dir = os.path.join(args.out, "ckpt")
+        t0 = time.time()
+        csv_path = os.path.join(args.out, "train_loss.csv")
+        new_csv = not os.path.exists(csv_path)
+        with open(csv_path, "a") as fh:
+            if new_csv:
+                fh.write("step,loss,seconds\n")
+            pending = []
+            for step in range(1, args.steps + 1):
+                pending.append((step, trainer.train_step(unet_number=2,
+                                                         sync=False)))
+                if step % args.log_every == 0 or step in (1, args.steps):
+                    for s, dl in pending:
+                        v = float(dl)
+                        losses.append(v)
+                        fh.write(f"{s},{v:.6f},{time.time() - t0:.1f}\n")
+                    pending = []
+                    fh.flush()
+                    print(f"step {step}/{args.steps} "
+                          f"loss {np.mean(losses[-args.log_every:]):.5f} "
+                          f"({time.time() - t0:.0f}s)", flush=True)
+                if args.ckpt_every and step % args.ckpt_every == 0:
+                    _atomic_save(trainer, ckpt_dir)
+        _atomic_save(trainer, ckpt_dir)
 
     # ---- eval: sample held-out central slices, score stacked stacks ------
     from test_all import evaluate
@@ -228,8 +259,8 @@ def main():
 
     summary = {
         "steps": args.steps,
-        "final_loss_mean_50": float(np.mean(losses[-50:])),
-        "first_loss_mean_50": float(np.mean(losses[:50])),
+        "final_loss_mean_50": float(np.mean(losses[-50:])) if losses else None,
+        "first_loss_mean_50": float(np.mean(losses[:50])) if losses else None,
         "eval_slices": args.eval_slices,
         "sample_seconds": round(elapsed, 1),
         "pred_msssim": m_pred["msssim"], "pred_psnr": m_pred["psnr"],
