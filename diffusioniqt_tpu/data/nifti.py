@@ -108,15 +108,13 @@ def read(path: str) -> Tuple[np.ndarray, np.ndarray]:
     data = data.reshape(shape, order="F").astype(np.float32)
 
     slope, inter = hdr["scl_slope"], hdr["scl_inter"]
-    # non-finite slope/inter mean "no scaling" (nibabel semantics; NaN
-    # scl_slope is common in real files)
-    if not np.isfinite(slope):
-        slope = 0.0
+    # nibabel semantics (get_slope_inter): an unusable slope — 0, NaN or
+    # inf, all common in real files — disables scaling entirely, INCLUDING
+    # the intercept; a usable slope with a non-finite intercept treats the
+    # intercept as 0
     if not np.isfinite(inter):
         inter = 0.0
-    if slope not in (0.0, 1.0) or inter != 0.0:
-        if slope == 0.0:
-            slope = 1.0
+    if np.isfinite(slope) and slope != 0.0 and (slope != 1.0 or inter != 0.0):
         data = data * np.float32(slope) + np.float32(inter)
 
     if hdr["sform_code"] > 0:

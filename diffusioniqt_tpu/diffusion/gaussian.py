@@ -328,10 +328,14 @@ class Imagen:
         else:
             t_cur, t_next = noise_scheduler.get_sampling_timesteps(batch)
         # skip-steps subsampling (reference :2103-2107) — static reshaping
-        if skip_steps is not None and skip_steps > 1 and not self.non_uniform_times:
-            idx = list(range(0, noise_scheduler.timesteps, skip_steps))
-            if idx[-1] != noise_scheduler.timesteps - 1:
-                idx = idx + [noise_scheduler.timesteps - 1]
+        # of the (t, t_next) pairs; applies identically to the uniform and
+        # non-uniform grids (the reference subsamples the pair list, so a
+        # non-unit stride leaves the same "gaps" either way)
+        if skip_steps is not None and skip_steps > 1:
+            n_pairs = int(t_cur.shape[0])
+            idx = list(range(0, n_pairs, skip_steps))
+            if idx[-1] != n_pairs - 1:
+                idx = idx + [n_pairs - 1]
             t_cur = t_cur[jnp.asarray(idx)]
             t_next = t_next[jnp.asarray(idx)]
 

@@ -53,10 +53,19 @@ def is_main_process() -> bool:
 
 
 def local_batch_slice(global_batch: int):
-    """The slice of a globally-sharded batch this host should feed."""
+    """The slice of a globally-sharded batch this host should feed.
+
+    Raises on indivisible batches instead of silently dropping the
+    remainder rows (which would also desynchronize the processes'
+    collective shapes)."""
     import jax
 
     n = jax.process_count()
     i = jax.process_index()
+    if global_batch % n != 0:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by "
+            f"process_count {n}; pad the batch or adjust batch_size"
+        )
     per = global_batch // n
     return slice(i * per, (i + 1) * per)

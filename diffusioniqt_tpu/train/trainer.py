@@ -363,17 +363,18 @@ class ImagenTrainer:
             lr_img = jnp.asarray(np.asarray(batch[1]).astype(tdt))
         else:
             hr, lr_img = jnp.asarray(batch[0]), jnp.asarray(batch[1])
-        hr, lr_img = self._maybe_batch_sample_split(hr, lr_img)
-
         if self.mesh is not None and jax.process_count() > 1:
             # split_batches semantics (reference trainer.py:256): every
             # process sees the same global batch (deterministic loader seed)
-            # and keeps only its slice; with batch_sample the per-process
-            # share must hold whole 27-sub-volume groups
+            # and keeps only its slice. Sliced PATCH-major — before the
+            # batch_sample 27-way split — so a process share can never cut
+            # through a sub-volume group (raises on indivisible batches)
             from diffusioniqt_tpu.parallel.multihost import local_batch_slice
 
             sl = local_batch_slice(hr.shape[0])
             hr, lr_img = hr[sl], lr_img[sl]
+
+        hr, lr_img = self._maybe_batch_sample_split(hr, lr_img)
 
         if not self.prepared:
             self.prepare()
@@ -496,6 +497,8 @@ class ImagenTrainer:
             or self.imagen.pred_objectives[index] == "x_start"
         )
 
+        multihost = self.mesh is not None and jax.process_count() > 1
+
         key = jax.random.PRNGKey(42)  # reference quirk: fixed seed per call
         losses, preds, noisy, hrs, lowres_list = [], [], [], [], []
         ssims, psnrs = [], []
@@ -504,6 +507,23 @@ class ImagenTrainer:
             for batch in self.valid_dl:
                 hr, lr_img = jnp.asarray(batch[0]), jnp.asarray(batch[1])
                 hr, lr_img = self._maybe_batch_sample_split(hr, lr_img)
+                if multihost:
+                    # params are global (mesh-spanning) arrays after a mesh
+                    # train_step; a jit over mixed global + process-local
+                    # inputs is rejected by JAX. Every process sees the same
+                    # deterministic validation batch, so replicate it onto
+                    # the global mesh (validation is rare and cheap — full
+                    # DP sharding is not worth the gather of the outputs).
+                    from jax.sharding import (
+                        NamedSharding,
+                        PartitionSpec as P,
+                    )
+
+                    rep = NamedSharding(self.mesh, P())
+                    hr = jax.make_array_from_process_local_data(
+                        rep, np.asarray(hr))
+                    lr_img = jax.make_array_from_process_local_data(
+                        rep, np.asarray(lr_img))
                 if fn is None:
                     fn = self._build_valid_loss(index)
                 key, sub = jax.random.split(key)
@@ -511,23 +531,30 @@ class ImagenTrainer:
                     self.params, sub, hr, lr_img
                 )
                 losses.append(float(loss))
+                # host copies once: replicated global outputs are fully
+                # addressable on every process; all downstream metric math
+                # and dumps run on the numpy copies
+                pred = np.asarray(pred)
+                x_noisy = np.asarray(x_noisy)
+                lowres_noisy = np.asarray(lowres_noisy)
+                hr_np = np.asarray(hr)
                 if pred_is_x_start:
                     if self.configs is not None and self.configs.train.batch_sample:
                         pred_m = subvolumes_to_volume(
                             pred, self.configs.train.batch_sample_factor
                         )
                         hr_m = subvolumes_to_volume(
-                            hr, self.configs.train.batch_sample_factor
+                            hr_np, self.configs.train.batch_sample_factor
                         )
                     else:
-                        pred_m, hr_m = pred, hr
+                        pred_m, hr_m = pred, hr_np
                     ssims.append(float(SSIM(pred_m, hr_m)))
                     psnrs.append(float(PSNR(pred_m, hr_m)))
                 if r < 2:
-                    preds.append(np.asarray(pred))
-                    noisy.append(np.asarray(x_noisy))
-                    hrs.append(np.asarray(hr))
-                    lowres_list.append(np.asarray(lowres_noisy))
+                    preds.append(pred)
+                    noisy.append(x_noisy)
+                    hrs.append(hr_np)
+                    lowres_list.append(lowres_noisy)
 
         loss = float(np.mean(losses))
         preds = np.concatenate(preds) if preds else np.zeros((0,))
@@ -601,10 +628,12 @@ class ImagenTrainer:
         return 1
 
     # kwargs of Imagen.sample that carry arrays (traced); everything else is
-    # static and becomes part of the jit-cache key
+    # static and becomes part of the jit-cache key. Any other array-valued
+    # kwarg (text_embeds, text_mask, ...) is detected by type below — an
+    # array must never land in the hashable cache key.
     _SAMPLE_ARRAY_KWARGS = (
         "start_image_or_video", "cond_images", "inpaint_images",
-        "inpaint_masks", "init_images",
+        "inpaint_masks", "init_images", "text_embeds", "text_mask",
     )
 
     def _call_imagen_sample(self, params, key, batch_size: int, kwargs):
@@ -618,8 +647,11 @@ class ImagenTrainer:
         (flags, shapes) combination, the same way the reference's torch
         sampler reuses its CUDA graphs across ``test.py`` windows."""
         arrays = {
-            k: kwargs[k] for k in self._SAMPLE_ARRAY_KWARGS
-            if kwargs.get(k) is not None
+            k: v for k, v in kwargs.items()
+            if v is not None and (
+                k in self._SAMPLE_ARRAY_KWARGS
+                or isinstance(v, (jax.Array, np.ndarray))
+            )
         }
         static = {k: v for k, v in kwargs.items() if k not in arrays}
         static = {k: tuple(v) if isinstance(v, list) else v
@@ -710,6 +742,12 @@ class ImagenTrainer:
             key = self._next_key()
 
         start = kwargs.get("start_image_or_video", None)
+        group = self._sample_group_size()
+        if max_batch_size is not None and group > 1:
+            # a chunk boundary inside a 27-sub-volume batch_sample group
+            # would merge sub-volumes of different volumes for attention /
+            # halo context — align chunks to whole groups (floor, min 1)
+            max_batch_size = max(max_batch_size // group, 1) * group
         if max_batch_size is None or batch_size <= max_batch_size:
             if self.mesh is not None:
                 return self._mesh_sample(params, key, batch_size, kwargs)

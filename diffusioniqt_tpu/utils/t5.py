@@ -94,8 +94,14 @@ def _random_init_encoder(name: str):
 
 
 def _get_model_and_tokenizer(name: str, allow_random_init: bool = False):
-    if name in _CACHE:
-        return _CACHE[name]
+    # a random-init fallback is cached under (name, random=True) only: a
+    # later call WITHOUT allow_random_init must not silently receive random
+    # weights — it either finds real pretrained weights or raises
+    for key in ((name, False), (name, True)) if allow_random_init else (
+            (name, False),):
+        if key in _CACHE:
+            return _CACHE[key]
+    random_init = False
     try:
         from transformers import T5EncoderModel, T5Tokenizer
 
@@ -110,8 +116,9 @@ def _get_model_and_tokenizer(name: str, allow_random_init: bool = False):
                 "randomly-initialised encoder, or use hash_text_encode."
             ) from e
         model, tokenizer = _random_init_encoder(name)
-    _CACHE[name] = (model, tokenizer)
-    return _CACHE[name]
+        random_init = True
+    _CACHE[(name, random_init)] = (model, tokenizer)
+    return _CACHE[(name, random_init)]
 
 
 def t5_encode_text(

@@ -70,6 +70,19 @@ def main():
         losses.append(trainer.train_step(unet_number=2, batch=(hr, lr_img)))
     print("LOSSES" + json.dumps(losses), flush=True)
 
+    # valid_step after mesh training: params are global (mesh-spanning)
+    # arrays — the validation batch must be replicated onto the mesh or
+    # JAX rejects the jit for mixing device sets (round-3 self-review #3)
+    from diffusioniqt_tpu.data.datasets import FakeIQTDataset
+
+    trainer.add_valid_dataset(FakeIQTDataset(size=8, length=2, seed=5),
+                              batch_size=2)
+    vloss, preds, _noisy, _pair, _ssim, _psnr = trainer.valid_step(
+        unet_number=2)
+    assert np.isfinite(vloss)
+    assert preds.shape[0] == 2
+    print("VALID" + json.dumps(float(vloss)), flush=True)
+
 
 if __name__ == "__main__":
     main()

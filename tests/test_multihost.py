@@ -69,6 +69,15 @@ def test_two_process_training_matches_single_process():
     # both processes observe the same global loss
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
 
+    # valid_step ran after mesh training on both processes (replicated
+    # batch over the global mesh) and agreed
+    vlosses = []
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("VALID")]
+        assert line, f"no VALID line in worker output:\n{out}"
+        vlosses.append(json.loads(line[-1][len("VALID"):]))
+    np.testing.assert_allclose(vlosses[0], vlosses[1], rtol=1e-6)
+
     # single-process reference with the same batches/seed
     from diffusioniqt_tpu.train.trainer import ImagenTrainer
     from tests.test_trainer import tiny_cfg, tiny_imagen

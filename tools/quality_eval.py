@@ -40,7 +40,18 @@ def main():
     ap.add_argument("--timesteps", type=int, default=20)
     ap.add_argument("--patch-batch", type=int, default=8)
     ap.add_argument("--suffix", default="")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon TPU plugin "
+                         "registers from sitecustomize and hangs when the "
+                         "tunnel is down; both the env var and the config "
+                         "update are required to override it)")
     args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from diffusioniqt_tpu.data.synthetic import (
         generate_pair, population_stats,

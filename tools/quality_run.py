@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -162,8 +163,11 @@ def main():
     losses = []
     csv_path = os.path.join(args.out, "train_loss.csv")
     t0 = time.time()
-    with open(csv_path, "w") as fh:
-        fh.write("step,loss,seconds\n")
+    # append so --resume extends the prior loss history instead of wiping it
+    new_csv = not os.path.exists(csv_path)
+    with open(csv_path, "a") as fh:
+        if new_csv:
+            fh.write("step,loss,seconds\n")
         pending = []  # (step, device-loss) — sync only at log boundaries
         for step in range(1, args.steps + 1):
             loss = trainer.train_step(unet_number=2, sync=False)
@@ -179,7 +183,13 @@ def main():
                 print(f"step {step}/{args.steps} loss {recent:.5f} "
                       f"({(time.time() - t0):.0f}s)", flush=True)
             if step % args.ckpt_every == 0 or step == args.steps:
-                trainer.save(os.path.join(args.out, "ckpt"))
+                # atomic: write beside the live dir, then swap — a kill
+                # mid-save can't destroy the previous rolling checkpoint
+                ckpt_dir = os.path.join(args.out, "ckpt")
+                trainer.save(ckpt_dir + ".tmp")
+                if os.path.exists(ckpt_dir):
+                    shutil.rmtree(ckpt_dir)
+                os.replace(ckpt_dir + ".tmp", ckpt_dir)
 
     # ---- final eval: 20-step sampling on held-out phantoms ---------------
     cfg_eval = flagship_cfg(quick=args.quick)
