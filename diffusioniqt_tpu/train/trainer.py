@@ -178,10 +178,27 @@ class ImagenTrainer:
             self._param_shards = [
                 param_shardings(p, self.mesh) for p in self.params
             ]
-            self.params = [
-                jax.device_put(p, s)
-                for p, s in zip(self.params, self._param_shards)
-            ]
+            if jax.process_count() > 1:
+                # deterministic init: every process holds identical full
+                # params. Build the global arrays directly from the local
+                # copies — device_put of uncommitted values to a
+                # multi-process sharding inserts a per-leaf cross-host
+                # assert_equal allgather (hundreds of Gloo/ICI rendezvous
+                # before training even starts)
+                def _global(leaf, sh):
+                    a = np.asarray(leaf)
+                    return jax.make_array_from_process_local_data(
+                        sh, a, a.shape)
+
+                self.params = [
+                    jax.tree_util.tree_map(_global, p, s)
+                    for p, s in zip(self.params, self._param_shards)
+                ]
+            else:
+                self.params = [
+                    jax.device_put(p, s)
+                    for p, s in zip(self.params, self._param_shards)
+                ]
         else:
             self._param_shards = None
         self.opt_states = [

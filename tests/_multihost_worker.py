@@ -52,11 +52,15 @@ def main():
         gradient_accumulation_steps=1, lr=2e-3,
     )
 
-    # rendezvous via the coordination service (gRPC, minutes-scale timeout)
-    # BEFORE the first cross-process collective: Gloo context init inside
-    # device_put has a hard ~30 s deadline, and on a loaded 1-core box the
-    # two workers can skew past it during tracing/compilation (observed as
+    # do the compile-heavy, collective-free work (param init; prepare()
+    # builds global params via make_array_from_process_local_data) BEFORE
+    # the rendezvous, then barrier via the coordination service (gRPC,
+    # minutes-scale timeout). Gloo context init at the first cross-process
+    # collective has a hard ~30 s deadline, and on a loaded 1-core box the
+    # two workers skew past it during tracing/compilation (observed as
     # 'Gloo context initialization failed: DEADLINE_EXCEEDED')
+    trainer.prepare()
+
     from jax._src import distributed
 
     distributed.global_state.client.wait_at_barrier(
