@@ -685,6 +685,23 @@ class ImagenTrainer:
             self._sample_fns[cache_key] = fn
         return fn(params, key, arrays)
 
+    @classmethod
+    def _map_array_kwargs(cls, kwargs, fn):
+        """Apply ``fn`` to every batch-major array-valued sample kwarg.
+
+        The reference splits ALL tensor kwargs when chunking
+        (``split_args_and_kwargs``, reference trainer.py:176-197) — not just
+        the start images. Array kwargs may be pytrees (``init_images`` is a
+        per-unet list); every leaf is batch-major."""
+        out = dict(kwargs)
+        for k, v in kwargs.items():
+            if v is None:
+                continue
+            if (k in cls._SAMPLE_ARRAY_KWARGS
+                    or isinstance(v, (jax.Array, np.ndarray))):
+                out[k] = jax.tree_util.tree_map(fn, v)
+        return out
+
     def _mesh_sample(self, params, key, batch_size: int, kwargs):
         """Shard one sampling call's patch batch over the mesh 'data' axis.
 
@@ -695,7 +712,6 @@ class ImagenTrainer:
         sampling (tests/test_sample_mesh.py)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        start = kwargs.get("start_image_or_video", None)
         data = self.mesh.shape.get("data", 1)
         group = self._sample_group_size()
         # round UP: a ragged chunk (e.g. the remainder of max_batch_size
@@ -706,11 +722,17 @@ class ImagenTrainer:
         padded = pad_groups * group
         assert padded >= batch_size
 
-        if start is not None and padded != batch_size:
+        if padded != batch_size:
+            # pad EVERY batch-major array kwarg (text_embeds, cond_images,
+            # ...) by group repetition, not just the start images
             reps = -(-padded // batch_size)
-            start = jnp.concatenate([start] * reps, axis=0)[:padded]
+            kwargs = self._map_array_kwargs(
+                kwargs,
+                lambda a: jnp.concatenate([a] * reps, axis=0)[:padded],
+            )
         b_shard = NamedSharding(self.mesh, P("data"))
         sub_kwargs = dict(kwargs)
+        start = sub_kwargs.get("start_image_or_video", None)
         if start is not None:
             sub_kwargs["start_image_or_video"] = jax.device_put(start, b_shard)
         with self.mesh:
@@ -758,7 +780,6 @@ class ImagenTrainer:
         if key is None:
             key = self._next_key()
 
-        start = kwargs.get("start_image_or_video", None)
         group = self._sample_group_size()
         if max_batch_size is not None and group > 1:
             # a chunk boundary inside a 27-sub-volume batch_sample group
@@ -770,14 +791,13 @@ class ImagenTrainer:
                 return self._mesh_sample(params, key, batch_size, kwargs)
             return self._call_imagen_sample(params, key, batch_size, kwargs)
 
-        # chunked sampling
+        # chunked sampling — every batch-major array kwarg is sliced per
+        # chunk (reference ``split_args_and_kwargs``, trainer.py:176-197)
         chunks = -(-batch_size // max_batch_size)
         outs = []
         for i in range(chunks):
             sl = slice(i * max_batch_size, min((i + 1) * max_batch_size, batch_size))
-            sub_kwargs = dict(kwargs)
-            if start is not None:
-                sub_kwargs["start_image_or_video"] = start[sl]
+            sub_kwargs = self._map_array_kwargs(kwargs, lambda a: a[sl])
             key, sub = jax.random.split(key)
             if self.mesh is not None:
                 outs.append(

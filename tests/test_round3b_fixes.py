@@ -117,6 +117,58 @@ def test_chunked_sample_small_max_batch_keeps_one_group(trainer, monkeypatch):
     assert sizes == [27, 27]
 
 
+def test_chunked_sample_slices_every_array_kwarg(trainer, monkeypatch):
+    """Chunking must slice ALL batch-major array kwargs per chunk, not just
+    start_image_or_video (reference split_args_and_kwargs splits every
+    tensor kwarg, trainer.py:176-197) — text_embeds/cond_images previously
+    reached each chunk whole, shape-mismatching the chunk batch."""
+    seen = []
+
+    def spy(params, key, bs, kwargs):
+        seen.append({k: np.asarray(v).shape[0]
+                     for k, v in kwargs.items()
+                     if isinstance(v, (jax.Array, np.ndarray))})
+        return jnp.zeros((bs, 8, 8, 8, 1))
+
+    monkeypatch.setattr(trainer, "_call_imagen_sample", spy)
+    out = trainer.sample(
+        batch_size=6, max_batch_size=4, key=jax.random.PRNGKey(2),
+        start_at_unet_number=2, start_image_or_video=_start(6),
+        text_embeds=jnp.ones((6, 4, 16)), text_mask=jnp.ones((6, 4)),
+    )
+    assert out.shape[0] == 6
+    assert [s["start_image_or_video"] for s in seen] == [4, 2]
+    for s, n in zip(seen, (4, 2)):
+        assert s["text_embeds"] == n and s["text_mask"] == n
+
+
+def test_mesh_pad_covers_every_array_kwarg(trainer, monkeypatch):
+    """_mesh_sample's group/device padding must extend ALL batch-major
+    array kwargs to the padded batch, not just start_image_or_video."""
+    from diffusioniqt_tpu.parallel.mesh import create_mesh
+
+    seen = {}
+
+    def spy(params, key, bs, kwargs):
+        seen.update({k: np.asarray(v).shape[0]
+                     for k, v in kwargs.items()
+                     if isinstance(v, (jax.Array, np.ndarray))})
+        return jnp.zeros((bs, 8, 8, 8, 1))
+
+    monkeypatch.setattr(trainer, "_call_imagen_sample", spy)
+    monkeypatch.setattr(trainer, "mesh", create_mesh(("data",), (8,)),
+                        raising=False)
+    out = trainer.sample(
+        batch_size=6, key=jax.random.PRNGKey(3), start_at_unet_number=2,
+        start_image_or_video=_start(6), text_embeds=jnp.ones((6, 4, 16)),
+    )
+    # 6 rows pad to 8 (divisible by the 8-device 'data' axis); outputs are
+    # sliced back to the requested 6
+    assert out.shape[0] == 6
+    assert seen["start_image_or_video"] == 8
+    assert seen["text_embeds"] == 8
+
+
 # ---------------------------------------------------------------------------
 # skip_steps composes with the non-uniform schedule
 
