@@ -30,6 +30,35 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import jax
 import jax.numpy as jnp
 
+
+def _require_backend(timeout_s: float = 180.0) -> None:
+    """Fail fast (exit 3) when the device backend is unreachable.
+
+    A downed axon tunnel makes backend init BLOCK indefinitely rather than
+    raise; without a watchdog the whole bench (and its caller's budget)
+    hangs with no diagnostic."""
+    import threading
+
+    probe: dict = {}
+
+    def _probe():
+        try:
+            probe["devices"] = [str(d) for d in jax.devices()]
+        except Exception as e:  # raised init is as fatal as a hang
+            probe["error"] = repr(e)
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(timeout=timeout_s)
+    if "devices" not in probe:
+        print(
+            "bench.py: jax backend unreachable "
+            f"({probe.get('error', f'device probe hung >{timeout_s:.0f}s — tunnel down?')})",
+            file=sys.stderr,
+        )
+        raise SystemExit(3)
+
+
 # v5e bf16 peak (MXU): 197 TFLOP/s/chip — roofline denominator
 _V5E_PEAK_TFLOPS = 197.0
 
@@ -122,6 +151,8 @@ def bench_train(cfg):
 
 
 def main():
+    _require_backend()
+
     from diffusioniqt_tpu.config import Config
     from diffusioniqt_tpu.data.stitching import sliding_window_grid
     from diffusioniqt_tpu.diffusion.gaussian import imagen_from_config
