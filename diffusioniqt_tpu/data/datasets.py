@@ -79,8 +79,9 @@ class SupervisedIQT:
 
     def __init__(self, config, lr_files: Sequence[str], hr_files: Sequence[str],
                  train: bool = True, max_retries: int = 100,
-                 volume_size: int = 256):
+                 volume_size: int = 256, seed: int = 0):
         self.config = config
+        self.seed = seed
         self.files_lr = list(lr_files)
         self.files_hr = list(hr_files)
         self.mean_lr = config.data.mean
@@ -128,8 +129,14 @@ class SupervisedIQT:
         lr, hr = self._load_pair(idx)
         p = self.patch_size
         high = lr.shape[0] - p
+        # deterministic per (seed, epoch, idx): crop positions are
+        # reproducible, thread-safe (no shared global np.random stream —
+        # a prefetch worker and the main thread would race it), and
+        # identical across multi-host processes (every process must see
+        # the same global batch; the DataLoader advances the epoch each
+        # pass so crops still vary over training)
         rng = np.random.default_rng(
-            np.random.SeedSequence([self._epoch, idx, int(np.random.randint(1 << 30))])
+            np.random.SeedSequence([self.seed, self._epoch, idx])
         )
         total_voxel = p ** 3
         best = None

@@ -20,25 +20,62 @@ import numpy as np
 
 
 class _PrefetchIterator:
-    """Drains ``iterable`` on a daemon thread into a bounded queue."""
+    """Drains ``iterable`` on a daemon thread into a bounded queue.
+
+    The worker closure deliberately does NOT capture ``self``: when the
+    consumer drops the iterator mid-epoch, ``__del__`` can fire, set the
+    stop event, and the worker unblocks from its bounded-``put`` wait and
+    exits — instead of pinning the dataset and in-flight batches forever.
+    """
 
     _SENTINEL = object()
 
     def __init__(self, iterable, depth: int = 2):
         self._q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
-        self._err = None
+        self._stop = threading.Event()
+        self._err_box: list = []
 
-        def worker():
+        def worker(it, q, stop, err_box, sentinel):
+            def put(item) -> bool:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
+
             try:
-                for item in iterable:
-                    self._q.put(item)
+                for item in it:
+                    if not put(item):
+                        return
             except BaseException as e:  # propagate to the consumer
-                self._err = e
+                err_box.append(e)
             finally:
-                self._q.put(self._SENTINEL)
+                put(sentinel)
 
-        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread = threading.Thread(
+            target=worker,
+            args=(iterable, self._q, self._stop, self._err_box,
+                  self._SENTINEL),
+            daemon=True,
+        )
         self._thread.start()
+
+    def close(self):
+        self._stop.set()
+        # drain so a worker blocked between Full-checks sees the event fast
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+
+    def __del__(self):  # pragma: no cover - GC timing dependent
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __iter__(self):
         return self
@@ -46,8 +83,8 @@ class _PrefetchIterator:
     def __next__(self):
         item = self._q.get()
         if item is self._SENTINEL:
-            if self._err is not None:
-                raise self._err
+            if self._err_box:
+                raise self._err_box[0]
             raise StopIteration
         return item
 
@@ -85,6 +122,7 @@ class DataLoader:
         # pin_memory+non_blocking copies
         self.worker_map = worker_map
         self._rng = np.random.default_rng(seed)
+        self._epoch = 0
 
     def __len__(self):
         n = len(self.dataset)
@@ -93,6 +131,11 @@ class DataLoader:
         return -(-n // self.batch_size)
 
     def __iter__(self):
+        # advance the dataset's epoch so per-(epoch, idx)-seeded crops vary
+        # across passes without touching the global np.random stream
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self._epoch)
+        self._epoch += 1
         if self.prefetch > 0:
             return _PrefetchIterator(self._iterate(), depth=self.prefetch)
         return self._iterate()

@@ -519,7 +519,12 @@ class ImagenTrainer:
         key = jax.random.PRNGKey(42)  # reference quirk: fixed seed per call
         losses, preds, noisy, hrs, lowres_list = [], [], [], [], []
         ssims, psnrs = [], []
-        fn = None
+        # reuse the jit object across valid_step calls — a fresh jax.jit
+        # wrapper retraces the flagship valid loss on every validation
+        # boundary otherwise
+        fn = self._valid_loss_fns.get(index)
+        if fn is None:
+            fn = self._valid_loss_fns[index] = self._build_valid_loss(index)
         for r in range(repeat):
             for batch in self.valid_dl:
                 hr, lr_img = jnp.asarray(batch[0]), jnp.asarray(batch[1])
@@ -541,8 +546,6 @@ class ImagenTrainer:
                         rep, np.asarray(hr))
                     lr_img = jax.make_array_from_process_local_data(
                         rep, np.asarray(lr_img))
-                if fn is None:
-                    fn = self._build_valid_loss(index)
                 key, sub = jax.random.split(key)
                 loss, pred, x_noisy, lowres_noisy = fn(
                     self.params, sub, hr, lr_img
@@ -856,33 +859,82 @@ class ImagenTrainer:
 
         return bool(re.match(r"^[a-z0-9]+://", path))
 
+    def _host_state_tree(self) -> Dict[str, Any]:
+        """State tree with every leaf materialisable on this process.
+
+        On a multi-host mesh params/opt/EMA are global (mesh-spanning)
+        jax.Arrays that a single process cannot serialise: fully-replicated
+        leaves (the DP case) read their local copy; process-sharded leaves
+        are allgathered. COLLECTIVE when any leaf needs the allgather —
+        every process must call ``save`` together on multi-host runs."""
+        tree = self._state_tree()
+        if jax.process_count() <= 1:
+            return tree
+        from jax.experimental import multihost_utils
+
+        def to_host(leaf):
+            if not isinstance(leaf, jax.Array):
+                return leaf
+            if leaf.is_fully_addressable or leaf.is_fully_replicated:
+                # includes host-local arrays (EMA step, optimizer counts):
+                # orbax rejects single-device jax.Arrays in multi-host
+                # saves, numpy round-trips them as replicated host values
+                return np.asarray(leaf)
+            return np.asarray(
+                multihost_utils.process_allgather(leaf, tiled=True))
+
+        return jax.tree_util.tree_map(to_host, tree)
+
     def save(self, path: str):
         """Save a full trainer bundle (model + optimizer + EMA + steps).
 
         Local paths use orbax; fsspec URLs (gs://, memory://, ...) are
         written as one msgpack blob via fsspec, matching the reference's
-        cloud-checkpoint capability (trainer.py:274-280)."""
-        assert self.prepared, "nothing to save — trainer not prepared"
-        if self._is_url(path):
-            import fsspec
-            from flax import serialization
+        cloud-checkpoint capability (trainer.py:274-280).
 
-            fs, _ = fsspec.core.url_to_fs(path)
-            parent = path.rsplit("/", 1)[0]
-            try:
-                fs.makedirs(fs._strip_protocol(parent), exist_ok=True)
-            except Exception:
-                pass  # bucket-less filesystems (memory://) need no mkdir
-            with fsspec.open(path, "wb") as fh:
-                fh.write(serialization.to_bytes(self._state_tree()))
+        Multi-host: collective — call from EVERY process (the state
+        gather may involve collectives); only the main process writes,
+        and a barrier keeps the others from racing ahead
+        (the reference's wait_for_everyone-then-save, trainer.py:813-820)."""
+        assert self.prepared, "nothing to save — trainer not prepared"
+        multihost = jax.process_count() > 1
+        tree = self._host_state_tree()
+        main = jax.process_index() == 0
+        if self._is_url(path):
+            if main:
+                import fsspec
+                from flax import serialization
+
+                fs, _ = fsspec.core.url_to_fs(path)
+                parent = path.rsplit("/", 1)[0]
+                try:
+                    fs.makedirs(fs._strip_protocol(parent), exist_ok=True)
+                except Exception:
+                    pass  # bucket-less filesystems (memory://) need no mkdir
+                with fsspec.open(path, "wb") as fh:
+                    fh.write(serialization.to_bytes(tree))
+            if multihost:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices(
+                    "diffusioniqt_trainer_save")
             return
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(path)
-        if os.path.exists(path):
+        if main and os.path.exists(path):
             shutil.rmtree(path)
+        if multihost:
+            # orbax's Checkpointer.save is itself collective (it runs
+            # save_start/save_end barriers across processes) — EVERY
+            # process must enter it; orbax writes from the primary and
+            # non-primary processes only participate in the barriers
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(
+                "diffusioniqt_trainer_save_pre")
         with ocp.PyTreeCheckpointer() as ckptr:
-            ckptr.save(path, self._state_tree())
+            ckptr.save(path, tree)
 
     def load(self, path: str, strict: bool = True, noop_if_not_exist: bool = False):
         if self._is_url(path):
@@ -937,13 +989,44 @@ class ImagenTrainer:
         self.steps = [int(s) for s in np.asarray(restored["steps"])]
         if "key" in restored:  # absent in pre-round-3 checkpoints
             self._key = jnp.asarray(restored["key"], jnp.uint32)
+
+        from jax.sharding import NamedSharding
+
+        def place_like(cur, new):
+            # checkpoints round-trip as host arrays; re-place each leaf with
+            # the prepared leaf's MESH sharding so resume keeps its SPMD
+            # layout. Leaves the prepared state holds uncommitted (e.g.
+            # optimizer step counts from an eager tx.init) come back as
+            # host arrays — orbax restores them committed to device 0,
+            # which would poison the train-step jit with a mixed device
+            # set. Multi-host assumes trainer state is replicated across
+            # processes (DP; every process restores the same bundle) —
+            # cross-process TP-sharded state is not resumable from a bundle.
+            if self.mesh is None or not isinstance(cur, jax.Array):
+                return new
+            if isinstance(new, jax.Array) and not new.is_fully_addressable:
+                return new  # already a placed global array (restore_parts)
+            if not isinstance(cur.sharding, NamedSharding):
+                return np.asarray(new)  # uncommitted; jit places it
+            a = np.asarray(new)
+            if jax.process_count() > 1:
+                return jax.make_array_from_process_local_data(
+                    cur.sharding, a, a.shape)
+            return jax.device_put(a, cur.sharding)
+
         for i in range(self.num_unets):
             entry = restored[f"unet{i}"]
-            self.params[i] = entry["params"]
-            self.opt_states[i] = entry["opt_state"]
+            self.params[i] = jax.tree_util.tree_map(
+                place_like, self.params[i], entry["params"])
+            self.opt_states[i] = jax.tree_util.tree_map(
+                place_like, self.opt_states[i], entry["opt_state"])
             if self.use_ema and "ema" in entry:
+                ema_params = entry["ema"]["params"]
+                if self.ema_states[i] is not None:
+                    ema_params = jax.tree_util.tree_map(
+                        place_like, self.ema_states[i].params, ema_params)
                 self.ema_states[i] = EMAState(
-                    params=entry["ema"]["params"], step=entry["ema"]["step"]
+                    params=ema_params, step=entry["ema"]["step"]
                 )
 
     # rolling checkpoint folder (reference :767-809); local dirs or fsspec URLs
@@ -976,7 +1059,9 @@ class ImagenTrainer:
         total_steps = sum(self.steps)
         sep = "/" if is_url else os.sep
         path = f"{self.checkpoint_path.rstrip(sep)}{sep}checkpoint.{total_steps}"
-        self.save(path)
+        self.save(path)  # collective on multi-host; main process writes
+        if jax.process_index() != 0:
+            return
         if self.max_checkpoints_keep > 0:
             for stale in self.all_checkpoints_sorted[self.max_checkpoints_keep:]:
                 if self._is_url(stale):

@@ -87,6 +87,22 @@ def main():
     assert preds.shape[0] == 2
     print("VALID" + json.dumps(float(vloss)), flush=True)
 
+    # collective checkpoint save (every process calls; main writes) and
+    # restore into a fresh trainer: training must continue with the same
+    # loss on both processes
+    if len(sys.argv) > 3:
+        ckpt = sys.argv[3]
+        trainer.save(ckpt)
+        trainer2 = ImagenTrainer(
+            configs=cfg, imagen=tiny_imagen(cfg), mesh=mesh,
+            gradient_accumulation_steps=1, lr=2e-3,
+        )
+        trainer2.load(ckpt)
+        hr = rng.standard_normal((4, 8, 8, 8, 1)).astype(np.float32)
+        lr_img = hr + 0.1 * rng.standard_normal(hr.shape).astype(np.float32)
+        resumed = trainer2.train_step(unet_number=2, batch=(hr, lr_img))
+        print("RESUMED" + json.dumps(float(resumed)), flush=True)
+
 
 if __name__ == "__main__":
     main()

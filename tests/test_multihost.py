@@ -26,16 +26,17 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_worker_pair():
+def _run_worker_pair(ckpt_dir=None):
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache"
+    extra = [str(ckpt_dir)] if ckpt_dir else []
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(_ROOT, "tests",
                                           "_multihost_worker.py"),
-             str(rank), str(port)],
+             str(rank), str(port)] + extra,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, env=env, cwd=_ROOT,
         )
@@ -50,14 +51,15 @@ def _run_worker_pair():
 
 
 @pytest.mark.slow
-def test_two_process_training_matches_single_process():
-    outs, codes = _run_worker_pair()
+def test_two_process_training_matches_single_process(tmp_path):
+    ckpt_dir = tmp_path / "mh_ckpt"
+    outs, codes = _run_worker_pair(ckpt_dir)
     if any(c != 0 for c in codes) and any(
             "DEADLINE_EXCEEDED" in o for o in outs):
         # Gloo rendezvous has a hard ~30 s deadline; on a loaded 1-core box
         # cold compiles can skew the workers past it. Retry once — second
         # attempt runs from warm compile caches.
-        outs, codes = _run_worker_pair()
+        outs, codes = _run_worker_pair(ckpt_dir)
     for out, code in zip(outs, codes):
         assert code == 0, f"worker failed:\n{out}"
 
@@ -77,6 +79,17 @@ def test_two_process_training_matches_single_process():
         assert line, f"no VALID line in worker output:\n{out}"
         vlosses.append(json.loads(line[-1][len("VALID"):]))
     np.testing.assert_allclose(vlosses[0], vlosses[1], rtol=1e-6)
+
+    # the collective save -> fresh-trainer load -> train_step round-trip
+    # produced the same loss on both processes (checkpointing on a
+    # multi-process mesh is a collective: state gather + main-only write)
+    rlosses = []
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("RESUMED")]
+        assert line, f"no RESUMED line in worker output:\n{out}"
+        rlosses.append(json.loads(line[-1][len("RESUMED"):]))
+    np.testing.assert_allclose(rlosses[0], rlosses[1], rtol=1e-6)
+    assert np.isfinite(rlosses).all()
 
     # single-process reference with the same batches/seed
     from diffusioniqt_tpu.train.trainer import ImagenTrainer

@@ -60,12 +60,26 @@ def main():
     from test import infer_volume
     from test_all import evaluate
 
-    if args.mean is None or args.std is None:
-        # default quality_run stats: recompute from the training volumes
-        pairs = [generate_pair(args.size, seed=i) for i in range(4)]
-        mean, std = population_stats([lr for _, lr in pairs])
-    else:
+    if args.mean is not None and args.std is not None:
         mean, std = args.mean, args.std
+    else:
+        # prefer the stats.json quality_run wrote beside the checkpoint —
+        # evaluation must z-score with the exact training-time stats
+        stats_path = os.path.join(
+            os.path.dirname(os.path.abspath(args.ckpt)), "stats.json")
+        if os.path.exists(stats_path):
+            with open(stats_path) as fh:
+                stats = json.load(fh)
+            mean, std = stats["mean"], stats["std"]
+            print(f"stats from {stats_path}: mean={mean:.3f} std={std:.3f}")
+        else:
+            print(
+                "WARNING: no --mean/--std and no stats.json beside the "
+                "checkpoint; recomputing from 4 default training volumes "
+                f"at size {args.size} — metrics are skewed if the run "
+                "used different --volumes/--size", file=sys.stderr)
+            pairs = [generate_pair(args.size, seed=i) for i in range(4)]
+            mean, std = population_stats([lr for _, lr in pairs])
 
     cfg = flagship_cfg()
     cfg.data.mean, cfg.data.std = mean, std

@@ -145,6 +145,14 @@ def main():
     cfg.data.mean_hr, cfg.data.std_hr = population_stats(
         [hr for hr, _ in pairs])
 
+    # persist the normalization stats beside the checkpoints so a later
+    # quality_eval.py evaluates under the SAME z-scoring the model was
+    # trained with (recomputing with different --volumes/--size would
+    # silently skew every metric)
+    with open(os.path.join(args.out, "stats.json"), "w") as fh:
+        json.dump({"mean": mean, "std": std, "size": args.size,
+                   "volumes": args.volumes}, fh)
+
     ds = SyntheticIQTDataset(cfg, seed=0, samples_per_volume=8, pairs=pairs)
 
     if args.transfer_dtype:

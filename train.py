@@ -44,7 +44,6 @@ def main():
     from diffusioniqt_tpu.parallel.multihost import (
         initialize_multihost,
         is_main_process,
-        local_batch_slice,
     )
     from diffusioniqt_tpu.train.trainer import ImagenTrainer
     from diffusioniqt_tpu.utils.seed import set_seed
@@ -74,6 +73,13 @@ def main():
 
     batch_size = 1 if cfg.train.batch_sample else cfg.train.batch_size
     batch_size_test = 1 if cfg.train.batch_sample else cfg.eval.batch_size
+    # multi-host split_batches semantics (reference trainer.py:256): the
+    # loader produces the GLOBAL batch (identical on every process — the
+    # dataset crops are (seed, epoch, idx)-deterministic) and the trainer
+    # keeps each process's slice, so the per-host share stays at the
+    # configured batch size — with batch_sample, one whole 27-sub-volume
+    # group per host
+    batch_size *= jax.process_count()
 
     if args.fake_data:
         size = args.fake_size or cfg.train.patch_size
@@ -187,25 +193,28 @@ def main():
 
             if best > valid_ls[-1]:
                 best = valid_ls[-1]
-                # checkpoint/dump writes are main-process-gated (the
+                # the valid loss is identical on every process (replicated
+                # batches + replicated params), so all processes take this
+                # branch together. Dump writes are main-process-gated (the
                 # reference's accelerator.is_main_process gating,
-                # trainer.py:439-444); DP keeps params replicated so the
-                # main process holds every addressable shard
+                # trainer.py:439-444); trainer.save is COLLECTIVE on
+                # multi-host — every process must call it (the write
+                # itself is main-gated inside)
                 if main_proc:
                     print("Best model!")
                     np.save(os.path.join(fig_dir, f"conditional_iqt_{i}_gt.npy"), data[0])
                     np.save(os.path.join(fig_dir, f"conditional_iqt_{i}_lr.npy"), data[1])
                     np.save(os.path.join(fig_dir, f"conditional_iqt_{i}_noisy.npy"), condi1)
                     np.save(os.path.join(fig_dir, f"conditional_iqt_{i}_pred.npy"), preds)
-                    trainer.save(os.path.join(project_path, cfg.model_dir,
-                                              cfg.train.save_model))
+                trainer.save(os.path.join(project_path, cfg.model_dir,
+                                          cfg.train.save_model))
 
     drain(train_ls)
     if main_proc:
         write_csv(os.path.join(log_dir, cfg.train.save_file),
                   {"loss": train_ls})
-        trainer.save(os.path.join(project_path, cfg.model_dir,
-                                  cfg.train.save_last_model))
+    trainer.save(os.path.join(project_path, cfg.model_dir,
+                              cfg.train.save_last_model))
     print("Training done")
 
 
