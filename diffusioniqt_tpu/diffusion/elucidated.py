@@ -287,7 +287,7 @@ class ElucidatedImagen:
             text_embeds=text_embeds, text_mask=text_mask,
         )
 
-        def resample_step(carry, sig, sig_next, gamma, r_index):
+        def resample_step(carry, sig, sig_next, gamma, r_index, correct):
             images, x_start, key = carry
             key, k_eps, k_repaint = jax.random.split(key, 3)
 
@@ -310,27 +310,24 @@ class ElucidatedImagen:
             denoised_over_sigma = (images_hat - model_output) / sigma_hat
             images_next = images_hat + (sig_next - sigma_hat) * denoised_over_sigma
 
-            # 2nd-order correction unless sigma_next == 0 (reference :500-516)
-            def corrected(images_next):
+            if correct:
+                # 2nd-order correction (reference :500-516) — applied on
+                # every step except the final sigma_next == 0 one. That
+                # distinction is static (the schedule always ends in the
+                # appended 0), so it is hoisted to trace time: the scan body
+                # carries no lax.cond and the jaxpr FLOP walk is exact.
                 sc = model_output if unet_self_cond else None
                 model_output_next = self.preconditioned_network_forward(
                     unet, unet_params, images_next, sig_next,
                     self_cond=sc, **fwd_kwargs,
                 )
-                denoised_prime = (images_next - model_output_next) / jnp.where(
-                    sig_next == 0, 1.0, sig_next
-                )
-                img2 = images_hat + 0.5 * (sig_next - sigma_hat) * (
+                denoised_prime = (images_next - model_output_next) / sig_next
+                images = images_hat + 0.5 * (sig_next - sigma_hat) * (
                     denoised_over_sigma + denoised_prime
                 )
-                return img2, model_output_next
-
-            def uncorrected(images_next):
-                return images_next, model_output
-
-            images, x_start = jax.lax.cond(
-                sig_next != 0, corrected, uncorrected, images_next
-            )
+                x_start = model_output_next
+            else:
+                images, x_start = images_next, model_output
 
             if has_inpainting and r_index != 0:
                 repaint_noise = jax.random.normal(k_repaint, shape, jnp.float32)
@@ -341,13 +338,23 @@ class ElucidatedImagen:
         def scan_step(carry, step):
             sig, sig_next, gamma = step
             for r in reversed(range(resample_times)):
-                carry = resample_step(carry, sig, sig_next, gamma, r)
+                carry = resample_step(carry, sig, sig_next, gamma, r,
+                                      correct=True)
             return carry, None
 
+        # Heun steps (sigma_next > 0) run in the scan; the final step
+        # (sigma_next == 0) is a plain Euler step traced once outside it
         init_carry = (images, jnp.zeros_like(images), key)
-        (images, _, _), _ = jax.lax.scan(
-            scan_step, init_carry, (sigma_cur, sigma_next, gamma_cur)
+        carry, _ = jax.lax.scan(
+            scan_step, init_carry,
+            (sigma_cur[:-1], sigma_next[:-1], gamma_cur[:-1]),
         )
+        for r in reversed(range(resample_times)):
+            carry = resample_step(
+                carry, sigma_cur[-1], sigma_next[-1], gamma_cur[-1], r,
+                correct=False,
+            )
+        images, _, _ = carry
 
         if self.norm == "min-max":
             images = jnp.clip(images, -1.0, 1.0)

@@ -52,11 +52,19 @@ def _visit(jaxpr, mult: float, acc: dict) -> None:
             _visit(eqn.params["jaxpr"].jaxpr,
                    mult * (eqn.params["length"] - 1), acc)
         elif prim == "cond":
-            # branches alternate; count the first only (they are
-            # cost-symmetric everywhere this framework uses cond)
-            branches = eqn.params.get("branches", ())
-            if branches:
-                _visit(branches[0].jaxpr, mult, acc)
+            # count the most expensive branch: branch order in the lowered
+            # cond is (false, true), so "first branch only" would read the
+            # cheap side of an asymmetric cond (e.g. a corrected-vs-plain
+            # sampler step) and halve its FLOPs
+            branch_costs = []
+            for br in eqn.params.get("branches", ()):
+                sub = {"conv": 0.0, "dot": 0.0}
+                _visit(br.jaxpr, mult, sub)
+                branch_costs.append(sub)
+            if branch_costs:
+                best = max(branch_costs, key=lambda a: a["conv"] + a["dot"])
+                acc["conv"] += best["conv"]
+                acc["dot"] += best["dot"]
         elif prim == "while":
             # trip count is data-dependent; count the body once
             _visit(eqn.params["body_jaxpr"].jaxpr, mult, acc)
