@@ -100,7 +100,8 @@ def bench_train(cfg):
     unet = iqt_unet_from_config(cfg)
     imagen = imagen_from_config(cfg, [NullUnet(), unet])
 
-    patches, accum = 8, 2
+    patches = int(os.environ.get("BENCH_TRAIN_PATCHES", "8"))
+    accum = int(os.environ.get("BENCH_TRAIN_ACCUM", "2"))
     trainer = ImagenTrainer(
         configs=cfg, imagen=imagen, gradient_accumulation_steps=accum,
         use_ema=True, ema_update_every=10, lr=1e-4,
@@ -150,10 +151,123 @@ def bench_train(cfg):
     }
 
 
+def bench_edm(cfg, stitch_shape=(240, 240, 240)):
+    """North-star sampling benchmark (BASELINE.json): 64-step EDM Heun
+    sampling with churn at the reference hyperparameters
+    (/root/reference/elucidated_imagen.py:96-106, sampler :381-532) on the
+    flagship geometry — dim-64 SR U-Net, 27x32^3 boundary sub-volumes per
+    96^3 patch — plus the measured host-side cost of Gaussian-weighted
+    stitching a full volume, so volumes/hour includes stitching.
+
+    Heun is 2 model evals per step except the final Euler step:
+    NFE = 2*steps - 1."""
+    import dataclasses
+
+    from diffusioniqt_tpu.data.stitching import (
+        VolumeStitcher,
+        sliding_window_grid,
+    )
+    from diffusioniqt_tpu.diffusion.elucidated import (
+        elucidated_imagen_from_config,
+    )
+    from diffusioniqt_tpu.models.unet3d import NullUnet, iqt_unet_from_config
+
+    steps = int(os.environ.get("BENCH_EDM_STEPS", "64"))
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, elucidated=True, edm_num_sample_steps=steps))
+    unet = iqt_unet_from_config(cfg)
+    imagen = elucidated_imagen_from_config(cfg, [NullUnet(), unet])
+
+    patches = int(os.environ.get("BENCH_PATCH_BATCH", "8"))
+    batch = 27 * patches
+    params = imagen.init_params(jax.random.PRNGKey(0), batch_size=27)
+    key = jax.random.PRNGKey(2)
+    lowres = jax.random.normal(key, (batch, 32, 32, 32, 1), jnp.float32)
+    hp = imagen.hparams[1]
+    sched = imagen.lowres_noise_schedule
+
+    def sample_fn(params1, key, lowres):
+        # full inference conditioning path (ElucidatedImagen.sample): the
+        # lowres conditioning is noised at lowres_sample_noise_level
+        k_lo, k_s = jax.random.split(key)
+        t = sched.get_times(batch, imagen.lowres_sample_noise_level)
+        lo, *_ = sched.q_sample(
+            imagen.normalize_img(lowres), t,
+            jax.random.normal(k_lo, lowres.shape))
+        return imagen.one_unet_sample(
+            imagen.unets[1], params1, k_s, (batch, 32, 32, 32, 1), hp=hp,
+            clamp=True, dynamic_threshold=cfg.train.dynamic_threshold,
+            lowres_cond_img=lo,
+            lowres_noise_times=sched.get_condition(t),
+        )
+
+    fn = jax.jit(sample_fn)
+
+    out = fn(params[1], key, lowres)
+    float(jnp.sum(out))  # compile + warmup (forced D2H sync)
+
+    iters = 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fn(params[1], jax.random.fold_in(key, i), lowres)
+        float(jnp.sum(out))
+    elapsed = time.perf_counter() - t0
+
+    patch_rate = iters * patches / elapsed  # 96^3 patches/s
+    nfe = 2 * steps - 1
+    flops = _flops_of(fn, params[1], key, lowres)
+    tflops = flops * iters / elapsed / 1e12
+
+    # measured Gaussian-weighted stitching cost for one full volume
+    grid = sliding_window_grid(stitch_shape, 96, 32)
+    stitcher = VolumeStitcher(stitch_shape, 96, 32, mode="gaussian",
+                              fill_value=cfg.data.min_bound)
+    import numpy as np
+
+    from diffusioniqt_tpu.ops.volume import subvolumes_to_volume
+
+    win = np.asarray(subvolumes_to_volume(out[:27], 3))[0, ..., 0]
+    t1 = time.perf_counter()
+    for idx in range(len(grid)):
+        stitcher.add(win, idx)
+    stitcher.finalize()
+    stitch_s = time.perf_counter() - t1
+
+    sample_s = len(grid) / patch_rate  # device time for one volume's windows
+    return {
+        "edm_sample_steps": steps,
+        "edm_nfe_per_sample": nfe,
+        "edm_steps_per_sec": round(steps * patch_rate, 3),
+        "edm_nfe_per_sec": round(nfe * patch_rate, 3),
+        "edm_patch_batches_per_sec": round(patch_rate, 4),
+        "edm_achieved_tflops": round(tflops, 2),
+        "edm_pct_of_roofline": round(100.0 * tflops / _V5E_PEAK_TFLOPS, 1),
+        "edm_gaussian_stitch_sec_per_volume": round(stitch_s, 2),
+        "edm_volumes_per_hour_240c_incl_stitch": round(
+            3600.0 / (sample_s + stitch_s), 2),
+        "edm_s_churn": hp.S_churn,
+    }
+
+
 def main():
     _require_backend()
 
     from diffusioniqt_tpu.config import Config
+
+    if "--train-only" in sys.argv:
+        # remat-policy / microbatch sweep mode (PERF.md round-4 table):
+        #   BENCH_REMAT_POLICY={,conv} BENCH_TRAIN_PATCHES=N \
+        #   BENCH_TRAIN_ACCUM=M python bench.py --train-only
+        cfg = Config()
+        cfg.train.batch_sample = True
+        cfg.train.boundary = True
+        cfg.train.patch_size_sub = 32
+        cfg.train.pred_obj = "x_start"
+        cfg.train.dynamic_threshold = False
+        cfg.train.compute_dtype = (
+            "bfloat16" if jax.default_backend() == "tpu" else "float32")
+        print(json.dumps(bench_train(cfg)))
+        return
     from diffusioniqt_tpu.data.stitching import sliding_window_grid
     from diffusioniqt_tpu.diffusion.gaussian import imagen_from_config
     from diffusioniqt_tpu.models.unet3d import NullUnet, iqt_unet_from_config
@@ -252,6 +366,11 @@ def main():
     if "--no-train" not in sys.argv and (on_tpu or "--train" in sys.argv):
         train_aux = bench_train(cfg)
 
+    # north-star workload (BASELINE.json): 64-step EDM + Gaussian stitching
+    edm_aux = {}
+    if "--no-edm" not in sys.argv and (on_tpu or "--edm" in sys.argv):
+        edm_aux = bench_edm(cfg)
+
     # full-volume projection: 240^3 brain volume, 96^3 windows, stride 32
     # (reference test.py:151-153 crops 256^3 -> 240^3; eval overlap=32)
     grid = sliding_window_grid((240, 240, 240), 96, 32)
@@ -288,6 +407,7 @@ def main():
             "sampling_pct_of_roofline": round(
                 100.0 * sample_tflops / _V5E_PEAK_TFLOPS, 1),
             **train_aux,
+            **edm_aux,
         },
     }))
 
