@@ -34,12 +34,18 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import numpy as np
 
 
-def flagship_cfg(quick: bool = False):
+def flagship_cfg(quick: bool = False, elucidated: bool = False):
     from diffusioniqt_tpu.config import Config
 
     import jax
 
     cfg = Config()
+    if elucidated:
+        # north-star workload (BASELINE.json): EDM training + 64-step
+        # Heun sampling at the reference hyperparameter defaults
+        # (/root/reference/elucidated_imagen.py:96-106)
+        cfg.train.elucidated = True
+        cfg.train.edm_num_sample_steps = 64
     cfg.train.batch_sample = True
     cfg.train.boundary = True
     cfg.train.patch_size_sub = 32
@@ -66,12 +72,20 @@ def build_trainer(cfg, accum=4, remat=False, remat_policy=None):
     if remat:
         cfg.train.remat = True
         cfg.train.remat_policy = remat_policy
-    from diffusioniqt_tpu.diffusion.gaussian import imagen_from_config
     from diffusioniqt_tpu.models.unet3d import NullUnet, iqt_unet_from_config
     from diffusioniqt_tpu.train.trainer import ImagenTrainer
 
     unet = iqt_unet_from_config(cfg)
-    imagen = imagen_from_config(cfg, [NullUnet(), unet])
+    if cfg.train.elucidated:
+        from diffusioniqt_tpu.diffusion.elucidated import (
+            elucidated_imagen_from_config,
+        )
+
+        imagen = elucidated_imagen_from_config(cfg, [NullUnet(), unet])
+    else:
+        from diffusioniqt_tpu.diffusion.gaussian import imagen_from_config
+
+        imagen = imagen_from_config(cfg, [NullUnet(), unet])
     return ImagenTrainer(
         configs=cfg, imagen=imagen, gradient_accumulation_steps=accum,
         lr=cfg.train.lr, use_ema=True,
@@ -107,6 +121,9 @@ def main():
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--ckpt-every", type=int, default=1000)
     ap.add_argument("--eval-volumes", type=int, default=2)
+    ap.add_argument("--elucidated", action="store_true",
+                    help="EDM (north-star workload): train the elucidated "
+                         "loss, sample 64-step Heun+churn at eval")
     ap.add_argument("--quick", action="store_true",
                     help="tiny CPU smoke (dim 16, 96^3 phantoms, 20 steps)")
     ap.add_argument("--cpu", action="store_true",
@@ -134,7 +151,7 @@ def main():
         SyntheticIQTDataset, generate_pair, population_stats,
     )
 
-    cfg = flagship_cfg(quick=args.quick)
+    cfg = flagship_cfg(quick=args.quick, elucidated=args.elucidated)
 
     # population z-score stats from the training LR volumes (reference
     # precomputes Data.mean/std the same way, config/config.yaml:12-15)
@@ -199,10 +216,13 @@ def main():
                     shutil.rmtree(ckpt_dir)
                 os.replace(ckpt_dir + ".tmp", ckpt_dir)
 
-    # ---- final eval: 20-step sampling on held-out phantoms ---------------
-    cfg_eval = flagship_cfg(quick=args.quick)
+    # ---- final eval: full sampling on held-out phantoms -------------------
+    # (20-step ancestral Gaussian, or 64-step EDM Heun with --elucidated)
+    cfg_eval = flagship_cfg(quick=args.quick, elucidated=args.elucidated)
     cfg_eval.data.mean, cfg_eval.data.std = mean, std
     cfg_eval.train.timesteps = 20
+    if args.quick and args.elucidated:
+        cfg_eval.train.edm_num_sample_steps = 8
     eval_trainer = build_trainer(cfg_eval)
     eval_trainer.prepare()
     eval_trainer.params = trainer.params
@@ -237,6 +257,8 @@ def main():
         print(json.dumps(row), flush=True)
 
     summary = {
+        "sampler": ("edm-heun-64" if args.elucidated
+                    else "gaussian-ancestral-20"),
         "steps": args.steps,
         "final_loss_mean_100": float(np.mean(losses[-100:])),
         "first_loss_mean_100": float(np.mean(losses[:100])),
