@@ -80,6 +80,16 @@ def test_two_process_training_matches_single_process(tmp_path):
         vlosses.append(json.loads(line[-1][len("VALID"):]))
     np.testing.assert_allclose(vlosses[0], vlosses[1], rtol=1e-6)
 
+    # mesh sampling on the multi-process mesh produced identical output
+    # digests on both processes (start-image scatter + output allgather)
+    samples = []
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("SAMPLE")]
+        assert line, f"no SAMPLE line in worker output:\n{out}"
+        samples.append(json.loads(line[-1][len("SAMPLE"):]))
+    np.testing.assert_allclose(samples[0], samples[1], rtol=1e-6)
+    assert np.isfinite(samples).all()
+
     # the collective save -> fresh-trainer load -> train_step round-trip
     # produced the same loss on both processes (checkpointing on a
     # multi-process mesh is a collective: state gather + main-only write)
