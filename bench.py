@@ -228,9 +228,9 @@ def bench_edm(cfg, stitch_shape=(240, 240, 240)):
 
     win = np.asarray(subvolumes_to_volume(out[:27], 3))[0, ..., 0]
     t1 = time.perf_counter()
-    for idx in range(len(grid)):
-        stitcher.add(win, idx)
-    stitcher.finalize()
+    for start in grid:
+        stitcher.add(win, start)
+    stitcher.result()
     stitch_s = time.perf_counter() - t1
 
     sample_s = len(grid) / patch_rate  # device time for one volume's windows
@@ -366,10 +366,15 @@ def main():
     if "--no-train" not in sys.argv and (on_tpu or "--train" in sys.argv):
         train_aux = bench_train(cfg)
 
-    # north-star workload (BASELINE.json): 64-step EDM + Gaussian stitching
+    # north-star workload (BASELINE.json): 64-step EDM + Gaussian stitching.
+    # Runs LAST and fault-isolated: a device fault here (axon worker crash)
+    # must not take the already-measured headline numbers down with it.
     edm_aux = {}
     if "--no-edm" not in sys.argv and (on_tpu or "--edm" in sys.argv):
-        edm_aux = bench_edm(cfg)
+        try:
+            edm_aux = bench_edm(cfg)
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            edm_aux = {"edm_error": repr(e)[:300]}
 
     # full-volume projection: 240^3 brain volume, 96^3 windows, stride 32
     # (reference test.py:151-153 crops 256^3 -> 240^3; eval overlap=32)

@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--eval-volumes", type=int, default=2)
     ap.add_argument("--stitch", choices=["trim", "gaussian"], default="trim")
     ap.add_argument("--timesteps", type=int, default=20)
+    ap.add_argument("--elucidated", action="store_true",
+                    help="evaluate an EDM checkpoint (64-step Heun sampler)")
+    ap.add_argument("--edm-steps", type=int, default=64)
     ap.add_argument("--patch-batch", type=int, default=8)
     ap.add_argument("--suffix", default="")
     ap.add_argument("--cpu", action="store_true",
@@ -81,9 +84,11 @@ def main():
             pairs = [generate_pair(args.size, seed=i) for i in range(4)]
             mean, std = population_stats([lr for _, lr in pairs])
 
-    cfg = flagship_cfg()
+    cfg = flagship_cfg(elucidated=args.elucidated)
     cfg.data.mean, cfg.data.std = mean, std
     cfg.train.timesteps = args.timesteps
+    if args.elucidated:
+        cfg.train.edm_num_sample_steps = args.edm_steps
     trainer = build_trainer(cfg)
     trainer.prepare()
     trainer.load(args.ckpt)
