@@ -201,7 +201,11 @@ def bench_edm(cfg, stitch_shape=(240, 240, 240)):
             lowres_noise_times=sched.get_condition(t),
         )
 
-    fn = jax.jit(sample_fn)
+    # NO outer jit: one_unet_sample segments the Heun loop into capped
+    # device launches (the axon runtime kills single launches longer than
+    # a few seconds — a 64-step b216 launch reliably crashes the worker);
+    # the segment programs are jit-cached inside the sampler
+    fn = sample_fn
 
     out = fn(params[1], key, lowres)
     float(jnp.sum(out))  # compile + warmup (forced D2H sync)
@@ -246,6 +250,7 @@ def bench_edm(cfg, stitch_shape=(240, 240, 240)):
         "edm_volumes_per_hour_240c_incl_stitch": round(
             3600.0 / (sample_s + stitch_s), 2),
         "edm_s_churn": hp.S_churn,
+        "edm_steps_per_launch": imagen.max_steps_per_launch,
     }
 
 

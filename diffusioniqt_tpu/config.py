@@ -130,6 +130,11 @@ class TrainConfig:
     edm_sigma_data: float = 0.5
     edm_rho: float = 7.0
     edm_s_churn: float = 80.0
+    # cap on Heun steps per device launch during EDM sampling: the TPU
+    # runtime behind the axon tunnel kills single launches longer than a
+    # few seconds (worker crash), so long samplers run as carry-threaded
+    # launch segments — numerically identical. None = one launch.
+    edm_steps_per_launch: Optional[int] = 16
     # rematerialize ResnetBlocks on backward (activation memory lever)
     remat: bool = False
     # remat policy: None = full-block recompute (max memory savings);

@@ -65,6 +65,7 @@ class ElucidatedImagen:
         S_tmin: Union[float, Sequence[float]] = 0.05,
         S_tmax: Union[float, Sequence[float]] = 50.0,
         S_noise: Union[float, Sequence[float]] = 1.003,
+        max_steps_per_launch: Optional[int] = None,
     ):
         unets = list(unets) if isinstance(unets, (list, tuple)) else [unets]
         num_unets = len(unets)
@@ -106,6 +107,10 @@ class ElucidatedImagen:
 
         self.dynamic_thresholding = cast_tuple(dynamic_thresholding, num_unets)
         self.dynamic_thresholding_percentile = dynamic_thresholding_percentile
+
+        # launch-duration cap for eager sampling (see one_unet_sample)
+        self.max_steps_per_launch = max_steps_per_launch
+        self._segment_fn_cache: dict = {}
 
         hp_fields = (num_sample_steps, sigma_min, sigma_max, sigma_data, rho,
                      P_mean, P_std, S_churn, S_tmin, S_tmax, S_noise)
@@ -280,14 +285,21 @@ class ElucidatedImagen:
 
         unet_self_cond = getattr(unet, "self_cond", False)
 
-        fwd_kwargs = dict(
-            hp=hp, clamp=clamp, dynamic_threshold=dynamic_threshold,
-            cond_scale=cond_scale, lowres_cond_img=lowres_cond_img,
-            lowres_noise_times=lowres_noise_times, cond_images=cond_images,
-            text_embeds=text_embeds, text_mask=text_mask,
+        # conditioning arrays travel as ARGUMENTS of the (possibly jitted)
+        # step functions, never as closure captures: a jitted closure would
+        # bake them — and the params — in as compile-time constants
+        arrays = dict(
+            lowres_cond_img=lowres_cond_img,
+            lowres_noise_times=lowres_noise_times,
+            cond_images=cond_images,
+            text_embeds=text_embeds,
+            text_mask=text_mask,
+            inpaint_images=inpaint_images if has_inpainting else None,
+            inpaint_masks=inpaint_masks if has_inpainting else None,
         )
 
-        def resample_step(carry, sig, sig_next, gamma, r_index, correct):
+        def resample_step(unet_params, arrs, carry, sig, sig_next, gamma,
+                          r_index, correct):
             images, x_start, key = carry
             key, k_eps, k_repaint = jax.random.split(key, 3)
 
@@ -298,14 +310,24 @@ class ElucidatedImagen:
 
             if has_inpainting:
                 images_hat = (
-                    images_hat * (1 - inpaint_masks)
-                    + (inpaint_images + added_noise) * inpaint_masks
+                    images_hat * (1 - arrs["inpaint_masks"])
+                    + (arrs["inpaint_images"] + added_noise)
+                    * arrs["inpaint_masks"]
                 )
 
+            fwd = dict(
+                hp=hp, clamp=clamp, dynamic_threshold=dynamic_threshold,
+                cond_scale=cond_scale,
+                lowres_cond_img=arrs["lowres_cond_img"],
+                lowres_noise_times=arrs["lowres_noise_times"],
+                cond_images=arrs["cond_images"],
+                text_embeds=arrs["text_embeds"],
+                text_mask=arrs["text_mask"],
+            )
             self_cond = x_start if unet_self_cond else None
             model_output = self.preconditioned_network_forward(
                 unet, unet_params, images_hat, sigma_hat,
-                self_cond=self_cond, **fwd_kwargs,
+                self_cond=self_cond, **fwd,
             )
             denoised_over_sigma = (images_hat - model_output) / sigma_hat
             images_next = images_hat + (sig_next - sigma_hat) * denoised_over_sigma
@@ -319,7 +341,7 @@ class ElucidatedImagen:
                 sc = model_output if unet_self_cond else None
                 model_output_next = self.preconditioned_network_forward(
                     unet, unet_params, images_next, sig_next,
-                    self_cond=sc, **fwd_kwargs,
+                    self_cond=sc, **fwd,
                 )
                 denoised_prime = (images_next - model_output_next) / sig_next
                 images = images_hat + 0.5 * (sig_next - sigma_hat) * (
@@ -335,34 +357,73 @@ class ElucidatedImagen:
 
             return (images, x_start, key)
 
-        def scan_step(carry, step):
-            sig, sig_next, gamma = step
+        def heun_segment(unet_params, carry, triples, arrs):
+            """A run of always-corrected Heun steps as one lax.scan."""
+
+            def body(carry, step):
+                sig, sig_next, gamma = step
+                for r in reversed(range(resample_times)):
+                    carry = resample_step(unet_params, arrs, carry, sig,
+                                          sig_next, gamma, r, correct=True)
+                return carry, None
+
+            carry, _ = jax.lax.scan(body, carry, triples)
+            return carry
+
+        def final_step(unet_params, carry, last, arrs):
+            """The sigma_next == 0 Euler step + output clamp/unnormalize."""
+            sig, sig_next, gamma = last
             for r in reversed(range(resample_times)):
-                carry = resample_step(carry, sig, sig_next, gamma, r,
-                                      correct=True)
-            return carry, None
+                carry = resample_step(unet_params, arrs, carry, sig,
+                                      sig_next, gamma, r, correct=False)
+            images = carry[0]
+            if self.norm == "min-max":
+                images = jnp.clip(images, -1.0, 1.0)
+            else:
+                images = jnp.clip(images, min=self.min_bound)
+            if has_inpainting:
+                images = (
+                    images * (1 - arrs["inpaint_masks"])
+                    + arrs["inpaint_images"] * arrs["inpaint_masks"]
+                )
+            return self.unnormalize_img(images)
 
-        # Heun steps (sigma_next > 0) run in the scan; the final step
-        # (sigma_next == 0) is a plain Euler step traced once outside it
         init_carry = (images, jnp.zeros_like(images), key)
-        carry, _ = jax.lax.scan(
-            scan_step, init_carry,
-            (sigma_cur[:-1], sigma_next[:-1], gamma_cur[:-1]),
-        )
-        for r in reversed(range(resample_times)):
-            carry = resample_step(
-                carry, sigma_cur[-1], sigma_next[-1], gamma_cur[-1], r,
-                correct=False,
-            )
-        images, _, _ = carry
+        triples = (sigma_cur[:-1], sigma_next[:-1], gamma_cur[:-1])
+        last = (sigma_cur[-1], sigma_next[-1], gamma_cur[-1])
+        n_heun = int(sigma_cur.shape[0]) - 1
 
-        if self.norm == "min-max":
-            images = jnp.clip(images, -1.0, 1.0)
-        else:
-            images = jnp.clip(images, min=self.min_bound)
-        if has_inpainting:
-            images = images * (1 - inpaint_masks) + inpaint_images * inpaint_masks
-        return self.unnormalize_img(images)
+        seg = self.max_steps_per_launch
+        traced = isinstance(images, jax.core.Tracer)
+        if seg is None or traced or n_heun <= seg:
+            # single launch (or part of an enclosing jit program)
+            carry = heun_segment(unet_params, init_carry, triples, arrays)
+            return final_step(unet_params, carry, last, arrays)
+
+        # Segmented execution: the TPU runtime behind the axon tunnel kills
+        # any single device launch running longer than a few seconds (the
+        # worker crashes — measured: a 64-step Heun launch at batch 216 dies
+        # while 8 steps survive, and a 160-step GAUSSIAN launch dies the
+        # same way, so it is launch duration, not this sampler). Running the
+        # Heun loop as ceil(N/seg)-launch segments with the scan carry
+        # threaded across launches is numerically IDENTICAL to one scan
+        # (same ops, same RNG stream) and bounds every launch. The jitted
+        # segment is cached on the instance — at most two lengths compile
+        # (seg and the remainder).
+        cache_key = (shape, hp, clamp, bool(dynamic_threshold), cond_scale,
+                     resample_times, id(unet), has_inpainting)
+        fns = self._segment_fn_cache.get(cache_key)
+        if fns is None:
+            fns = (jax.jit(heun_segment), jax.jit(final_step))
+            self._segment_fn_cache[cache_key] = fns
+        seg_fn, fin_fn = fns
+
+        carry = init_carry
+        for start in range(0, n_heun, seg):
+            stop = min(start + seg, n_heun)
+            seg_triples = tuple(t[start:stop] for t in triples)
+            carry = seg_fn(unet_params, carry, seg_triples, arrays)
+        return fin_fn(unet_params, carry, last, arrays)
 
     # ------------------------------------------------------------------
     def sample(
@@ -589,4 +650,5 @@ def elucidated_imagen_from_config(cfg, unets) -> ElucidatedImagen:
         sigma_data=cfg.train.edm_sigma_data,
         rho=cfg.train.edm_rho,
         S_churn=cfg.train.edm_s_churn,
+        max_steps_per_launch=cfg.train.edm_steps_per_launch,
     )

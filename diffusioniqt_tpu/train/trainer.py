@@ -695,7 +695,16 @@ class ImagenTrainer:
                     params, key, batch_size=batch_size, **static, **arrays
                 )
 
-            fn = jax.jit(raw)
+            if (self.is_elucidated
+                    and getattr(self.imagen, "max_steps_per_launch", None)):
+                # the EDM sampler segments its Heun loop into capped device
+                # launches internally (the axon runtime kills launches
+                # longer than a few seconds); an outer jit would fuse it
+                # all back into one launch, so orchestrate eagerly — the
+                # segment programs are jit-cached inside one_unet_sample
+                fn = raw
+            else:
+                fn = jax.jit(raw)
             self._sample_fns[cache_key] = fn
         return fn(params, key, arrays)
 

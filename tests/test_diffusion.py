@@ -226,3 +226,21 @@ def test_edm_sample(edm_and_params):
     assert out.shape == (2, 8, 8, 8, 1)
     assert bool(jnp.all(jnp.isfinite(out)))
     assert float(jnp.abs(out).max()) <= 1.0 + 1e-5
+
+
+def test_edm_segmented_launches_match_single(edm_and_params):
+    """Launch-capped segmented Heun sampling is numerically identical to
+    the single-scan path (same ops, same RNG stream — the scan carry is
+    threaded across launches). The cap exists because the axon TPU runtime
+    kills single device launches longer than a few seconds."""
+    edm, params = edm_and_params
+    key = jax.random.PRNGKey(5)
+    assert edm.max_steps_per_launch is None
+    single = np.asarray(edm.sample(params, key, batch_size=2))
+    try:
+        edm.max_steps_per_launch = 2  # 5 Heun steps -> segments 2+2+1
+        seg = np.asarray(edm.sample(params, key, batch_size=2))
+    finally:
+        edm.max_steps_per_launch = None
+        edm._segment_fn_cache.clear()
+    np.testing.assert_allclose(single, seg, rtol=2e-5, atol=2e-6)
