@@ -395,8 +395,9 @@ class ElucidatedImagen:
 
         seg = self.max_steps_per_launch
         traced = isinstance(images, jax.core.Tracer)
-        if seg is None or traced or n_heun <= seg:
-            # single launch (or part of an enclosing jit program)
+        if seg is None or traced:
+            # single launch: inline — either the enclosing jit compiles it,
+            # or the caller opted out of launch capping entirely
             carry = heun_segment(unet_params, init_carry, triples, arrays)
             return final_step(unet_params, carry, last, arrays)
 
