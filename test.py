@@ -70,6 +70,16 @@ def infer_volume(cfg, trainer, lowres_raw: np.ndarray, stitch_mode: str = "trim"
     ``patch_batch`` patches are denoised together per device step — TPU conv
     throughput roughly doubles from batch 1 to 8 (the last group is padded
     by repetition so only one program is compiled).
+
+    The loop is software-pipelined one batch deep: batch k+1's host
+    assembly + H2D transfer + sampler dispatch happen while batch k is
+    still computing on the device, and batch k's D2H copy + stitching
+    happen while k+1 computes. Sampling dispatch is fully async (no host
+    sync until ``np.asarray``), so the serial host work — decisive on
+    slow H2D links, see PERF.md "measured end-to-end volumes/hour" — is
+    hidden behind device time. ``Train.transfer_dtype`` (e.g. bfloat16)
+    additionally halves the H2D bytes of the start images, exactly like
+    the training input path (trainer.py ``_transfer_map``).
     """
     import jax.numpy as jnp
 
@@ -90,9 +100,11 @@ def infer_volume(cfg, trainer, lowres_raw: np.ndarray, stitch_mode: str = "trim"
         fill_value=cfg.data.min_bound,
     )
 
-    n_done = 0
-    for start in range(0, len(items), patch_batch):
-        chunk = items[start:start + patch_batch]
+    td = getattr(cfg.train, "transfer_dtype", None)
+    tdt = jnp.dtype(td) if td else None
+
+    def submit(chunk):
+        """Assemble, transfer, and dispatch one patch batch (async)."""
         n_real = len(chunk)
         if len(chunk) < patch_batch:
             # pad by repetition so every group compiles to the same program
@@ -100,7 +112,10 @@ def infer_volume(cfg, trainer, lowres_raw: np.ndarray, stitch_mode: str = "trim"
             chunk = (chunk * reps)[:patch_batch]
         patches = np.stack([c[0] for c in chunk])  # (G, p, p, p, 1)
         idxs = [c[1] for c in chunk[:n_real]]
-
+        if tdt is not None:
+            # cast on host (numpy+ml_dtypes), transfer narrow: the sampler
+            # computes in Train.compute_dtype anyway
+            patches = patches.astype(tdt)
         x = jnp.asarray(patches)
         if cfg.train.batch_sample and x.shape[1] != cfg.train.patch_size_sub:
             x = volume_to_subvolumes(x, cfg.train.batch_sample_factor)
@@ -114,12 +129,31 @@ def infer_volume(cfg, trainer, lowres_raw: np.ndarray, stitch_mode: str = "trim"
         out = outputs[0]
         if cfg.train.batch_sample:
             out = subvolumes_to_volume(out, cfg.train.batch_sample_factor)
-        out_np = np.asarray(out)
+        return out, idxs
+
+    n_done = 0
+
+    def consume(pending):
+        """Block on one batch's D2H copy and stitch it."""
+        nonlocal n_done
+        out, idxs = pending
+        # D2H in the sampler's native dtype (half the bytes when bf16),
+        # then widen on host for stitching math
+        out_np = np.asarray(out).astype(np.float32, copy=False)
         for j, idx in enumerate(idxs):
             stitcher.add(out_np[j, ..., 0], idx)
             n_done += 1
         if verbose:
             print(f"patches {n_done}/{len(items)}")
+
+    pending = None
+    for start in range(0, len(items), patch_batch):
+        current = submit(items[start:start + patch_batch])
+        if pending is not None:
+            consume(pending)
+        pending = current
+    if pending is not None:
+        consume(pending)
     return stitcher.result()
 
 
@@ -137,12 +171,17 @@ def main():
     ap.add_argument("--fake-edge", type=int, default=None)
     ap.add_argument("--mesh", type=int, default=0,
                     help="shard the patch batch over an N-device data mesh")
+    ap.add_argument("--transfer-dtype", default=None,
+                    help="host->device start-image dtype, e.g. bfloat16 "
+                         "(halves H2D bytes; decisive on slow tunnels)")
     args = ap.parse_args()
 
     from diffusioniqt_tpu.config import load_config
     from diffusioniqt_tpu.data.datasets import load_affine, load_volume, save_volume
 
     cfg = load_config(args.config)
+    if args.transfer_dtype:
+        cfg.train.transfer_dtype = args.transfer_dtype
     trainer = build_trainer(cfg, mesh_devices=args.mesh)
     if args.checkpoint:
         trainer.load(args.checkpoint)

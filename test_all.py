@@ -61,6 +61,9 @@ def main():
                     help="torch VGG16/LPIPS checkpoint for trained features")
     ap.add_argument("--mesh", type=int, default=0,
                     help="shard the patch batch over an N-device data mesh")
+    ap.add_argument("--transfer-dtype", default=None,
+                    help="host->device start-image dtype, e.g. bfloat16 "
+                         "(halves H2D bytes; decisive on slow tunnels)")
     args = ap.parse_args()
 
     from diffusioniqt_tpu.config import load_config
@@ -68,6 +71,8 @@ def main():
     from test import build_trainer, infer_volume
 
     cfg = load_config(args.config)
+    if args.transfer_dtype:
+        cfg.train.transfer_dtype = args.transfer_dtype
     trainer = build_trainer(cfg, mesh_devices=args.mesh)
     if args.checkpoint:
         trainer.load(args.checkpoint)
