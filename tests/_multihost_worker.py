@@ -115,6 +115,15 @@ def main():
         resumed = trainer2.train_step(unet_number=2, batch=(hr, lr_img))
         print("RESUMED" + json.dumps(float(resumed)), flush=True)
 
+    # re-sync before exiting: the coordination service's implicit Shutdown
+    # barrier has a ~5 min deadline, and on a heavily loaded box the slower
+    # worker can lag the faster one past it (observed once with a full test
+    # lane + a training run sharing the box). An explicit barrier with a
+    # 10-minute budget absorbs the skew where the work happens, so both
+    # processes reach shutdown together.
+    distributed.global_state.client.wait_at_barrier(
+        "worker_done", timeout_in_ms=600_000)
+
 
 if __name__ == "__main__":
     main()
