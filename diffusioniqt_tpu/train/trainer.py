@@ -528,6 +528,7 @@ class ImagenTrainer:
         multihost = self.mesh is not None and jax.process_count() > 1
 
         key = jax.random.PRNGKey(42)  # reference quirk: fixed seed per call
+        sharded = False
         losses, preds, noisy, hrs, lowres_list = [], [], [], [], []
         ssims, psnrs = [], []
         # reuse the jit object across valid_step calls — a fresh jax.jit
@@ -540,35 +541,31 @@ class ImagenTrainer:
             for batch in self.valid_dl:
                 hr, lr_img = jnp.asarray(batch[0]), jnp.asarray(batch[1])
                 hr, lr_img = self._maybe_batch_sample_split(hr, lr_img)
-                if multihost:
-                    # params are global (mesh-spanning) arrays after a mesh
-                    # train_step; a jit over mixed global + process-local
-                    # inputs is rejected by JAX. Every process sees the same
-                    # deterministic validation batch, so replicate it onto
-                    # the global mesh (validation is rare and cheap — full
-                    # DP sharding is not worth the gather of the outputs).
-                    from jax.sharding import (
-                        NamedSharding,
-                        PartitionSpec as P,
-                    )
-
-                    rep = NamedSharding(self.mesh, P())
-                    hr = jax.make_array_from_process_local_data(
-                        rep, np.asarray(hr))
-                    lr_img = jax.make_array_from_process_local_data(
-                        rep, np.asarray(lr_img))
+                # host copy BEFORE mesh placement: on a multi-process mesh
+                # the placed array may not be fully addressable
+                hr_np = np.asarray(hr)
+                if self.mesh is not None:
+                    hr, lr_img, sharded = self._put_valid_batch(hr, lr_img)
                 key, sub = jax.random.split(key)
                 loss, pred, x_noisy, lowres_noisy = fn(
                     self.params, sub, hr, lr_img
                 )
                 losses.append(float(loss))
-                # host copies once: replicated global outputs are fully
-                # addressable on every process; all downstream metric math
-                # and dumps run on the numpy copies
+                if sharded and multihost:
+                    # data-sharded outputs are not fully addressable on any
+                    # one process; gather shards back to every host for the
+                    # metric math and qualitative dumps below
+                    from jax.experimental import multihost_utils
+
+                    pred, x_noisy, lowres_noisy = (
+                        multihost_utils.process_allgather(o, tiled=True)
+                        for o in (pred, x_noisy, lowres_noisy)
+                    )
+                # host copies once: all downstream metric math and dumps
+                # run on the numpy copies
                 pred = np.asarray(pred)
                 x_noisy = np.asarray(x_noisy)
                 lowres_noisy = np.asarray(lowres_noisy)
-                hr_np = np.asarray(hr)
                 if pred_is_x_start:
                     if self.configs is not None and self.configs.train.batch_sample:
                         pred_m = subvolumes_to_volume(
@@ -724,6 +721,34 @@ class ImagenTrainer:
                     or isinstance(v, (jax.Array, np.ndarray))):
                 out[k] = jax.tree_util.tree_map(fn, v)
         return out
+
+    def _put_valid_batch(self, hr, lr_img):
+        """Place one validation batch onto the mesh.
+
+        Shards over the 'data' axis whenever the batch splits into whole
+        sub-volume groups per data shard — replication makes every device
+        recompute the FULL validation batch and requires it to fit in one
+        device's HBM, neither of which scales (reference evaluates
+        validation on the rank-0 GPU only, trainer.py:685-765; the
+        TPU-native equivalent is DP-sharding the batch). Falls back to
+        replication on ragged batches. Multi-process safe: every process
+        sees the same deterministic batch (fixed-seed contract), so each
+        device's shard is sliced locally via ``make_array_from_callback``
+        with no cross-host transfer. Returns ``(hr, lr_img, sharded)``."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data = self.mesh.shape.get("data", 1)
+        group = self._sample_group_size()
+        b = int(hr.shape[0])
+        sharded = data > 1 and b % (data * group) == 0
+        spec = P("data") if sharded else P()
+        placed = []
+        for a in (hr, lr_img):
+            host = np.asarray(a)
+            sh = NamedSharding(self.mesh, spec)
+            placed.append(jax.make_array_from_callback(
+                host.shape, sh, lambda idx, h=host: h[idx]))
+        return placed[0], placed[1], sharded
 
     def _mesh_sample(self, params, key, batch_size: int, kwargs):
         """Shard one sampling call's patch batch over the mesh 'data' axis.
