@@ -243,7 +243,7 @@ def bench_edm(cfg, stitch_shape=(240, 240, 240)):
         "edm_nfe_per_sample": nfe,
         "edm_steps_per_sec": round(steps * patch_rate, 3),
         "edm_nfe_per_sec": round(nfe * patch_rate, 3),
-        "edm_patch_batches_per_sec": round(patch_rate, 4),
+        "edm_patches_per_sec_96c": round(patch_rate, 4),
         "edm_achieved_tflops": round(tflops, 2),
         "edm_pct_of_roofline": round(100.0 * tflops / _V5E_PEAK_TFLOPS, 1),
         "edm_gaussian_stitch_sec_per_volume": round(stitch_s, 2),
@@ -408,7 +408,7 @@ def main():
         "aux": {
             "backend": jax.default_backend(),
             "patch_batch": patches,
-            "patch_batches_per_sec": round(patches_per_sec, 4),
+            "patches_per_sec_96c": round(patches_per_sec, 4),
             "volumes_per_hour_240c_overlap32": round(volumes_per_hour, 2),
             "sampling_timesteps": steps,
             "compute_dtype": cfg.train.compute_dtype,

@@ -41,6 +41,11 @@ def main():
     ap.add_argument("--elucidated", action="store_true",
                     help="evaluate an EDM checkpoint (64-step Heun sampler)")
     ap.add_argument("--edm-steps", type=int, default=64)
+    ap.add_argument("--edm-churn", type=float, default=None,
+                    help="override S_churn for the Heun sampler (0 = "
+                         "deterministic Heun; the reference default 80 "
+                         "re-injects noise every step, which trades "
+                         "fidelity for diversity)")
     ap.add_argument("--patch-batch", type=int, default=8)
     ap.add_argument("--suffix", default="")
     ap.add_argument("--cpu", action="store_true",
@@ -89,6 +94,8 @@ def main():
     cfg.train.timesteps = args.timesteps
     if args.elucidated:
         cfg.train.edm_num_sample_steps = args.edm_steps
+        if args.edm_churn is not None:
+            cfg.train.edm_s_churn = args.edm_churn
     trainer = build_trainer(cfg)
     trainer.prepare()
     trainer.load(args.ckpt)
@@ -120,6 +127,11 @@ def main():
 
     summary = {
         "ckpt": args.ckpt, "steps": trainer.steps, "stitch": args.stitch,
+        "sampler": (f"edm-heun-{args.edm_steps}" if args.elucidated
+                    else f"gaussian-ancestral-{args.timesteps}"),
+        "edm_s_churn": (
+            (args.edm_churn if args.edm_churn is not None
+             else cfg.train.edm_s_churn) if args.elucidated else None),
         "volumes": results,
         "pred_beats_lr_msssim": all(
             r["pred_msssim"] > r["lr_msssim"] for r in results),
@@ -129,7 +141,8 @@ def main():
     print(json.dumps(summary))
     if args.out:
         os.makedirs(args.out, exist_ok=True)
-        name = f"quality_eval{('_' + args.suffix) if args.suffix else ''}.json"
+        suffix = args.suffix.lstrip("_")
+        name = f"quality_eval{('_' + suffix) if suffix else ''}.json"
         with open(os.path.join(args.out, name), "w") as fh:
             json.dump(summary, fh, indent=2)
 
