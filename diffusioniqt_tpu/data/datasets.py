@@ -202,6 +202,18 @@ class SupervisedIQTInference:
         patch = self.normalize(patch)[..., None]
         return patch, np.asarray([i, j, k], np.int32)
 
+    def valid_indices(self) -> np.ndarray:
+        """(N, 3) start indices of windows that pass the >=5%-content
+        filter — the device-resident inference path gathers these windows
+        on-device instead of materialising host patches."""
+        p = self.patch_size
+        keep = []
+        for i, j, k in self.lr_idx:
+            patch = self.lr_data[i:i + p, j:j + p, k:k + p]
+            if np.count_nonzero(patch) / self.total_voxel >= self.ratio:
+                keep.append([i, j, k])
+        return np.asarray(keep, np.int32).reshape(-1, 3)
+
 
 class FakeIQTDataset:
     """Random-noise LR/HR pairs for smoke tests (reference

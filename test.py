@@ -59,9 +59,88 @@ def build_trainer(cfg, mesh_devices: int = 0):
     return trainer
 
 
+def infer_volume_device(cfg, trainer, lowres_raw: np.ndarray,
+                        stitch_mode: str = "trim", use_ema: bool = True,
+                        verbose: bool = True, patch_batch: int = 8):
+    """Device-resident variant of ``infer_volume``: the normalized volume is
+    uploaded ONCE (~28 MB at bf16 for 240³ instead of ~226 MB of overlapping
+    per-window transfers), windows are gathered on device, and stitching
+    accumulates into device buffers — one D2H at the end. Removes the host
+    link from the inner loop entirely; see PERF.md "measured end-to-end
+    volumes/hour" for the gap this closes. Numerically equivalent to the
+    host path (tests/test_stitch_device.py)."""
+    import jax.numpy as jnp
+
+    from diffusioniqt_tpu.data.datasets import SupervisedIQTInference
+    from diffusioniqt_tpu.ops.stitch_device import (
+        DeviceVolumeStitcher,
+        gather_windows,
+    )
+    from diffusioniqt_tpu.ops.volume import (
+        subvolumes_to_volume,
+        volume_to_subvolumes,
+    )
+
+    dataset = SupervisedIQTInference(cfg, lr_file=None, volume=lowres_raw)
+    idxs = dataset.valid_indices()
+
+    patch = cfg.train.patch_size
+    td = getattr(cfg.train, "transfer_dtype", None)
+    vol_n = dataset.normalize(lowres_raw.astype(np.float32))
+    if td:
+        vol_n = vol_n.astype(jnp.dtype(td))
+    vol_dev = jnp.asarray(vol_n)
+
+    stitcher = DeviceVolumeStitcher(
+        lowres_raw.shape, patch, cfg.eval.overlap, mode=stitch_mode,
+        fill_value=cfg.data.min_bound,
+    )
+
+    n_done = 0
+    for start in range(0, len(idxs), patch_batch):
+        chunk = idxs[start:start + patch_batch]
+        n_real = len(chunk)
+        if n_real < patch_batch:  # pad starts; masked out by `valid`
+            pad = np.zeros((patch_batch - n_real, 3), np.int32)
+            chunk = np.concatenate([chunk, pad], axis=0)
+        valid = np.arange(patch_batch) < n_real
+        starts_dev = jnp.asarray(chunk)
+        x = gather_windows(vol_dev, starts_dev, patch)
+        if cfg.train.batch_sample and x.shape[1] != cfg.train.patch_size_sub:
+            x = volume_to_subvolumes(x, cfg.train.batch_sample_factor)
+        outputs = trainer.sample(
+            batch_size=x.shape[0],
+            start_image_or_video=x,
+            start_at_unet_number=2,
+            return_all_unet_outputs=True,
+            use_non_ema=not use_ema,
+        )
+        out = outputs[0]
+        if cfg.train.batch_sample:
+            out = subvolumes_to_volume(out, cfg.train.batch_sample_factor)
+        stitcher.add_batch(out[..., 0], starts_dev, jnp.asarray(valid))
+        n_done += n_real
+        if verbose:
+            print(f"patches {n_done}/{len(idxs)} (device-stitched)")
+    return stitcher.result()
+
+
 def infer_volume(cfg, trainer, lowres_raw: np.ndarray, stitch_mode: str = "trim",
                  use_ema: bool = True, verbose: bool = True,
-                 patch_batch: int = 8):
+                 patch_batch: int = 8, device_stitch: bool = False):
+    if device_stitch:
+        return infer_volume_device(
+            cfg, trainer, lowres_raw, stitch_mode=stitch_mode,
+            use_ema=use_ema, verbose=verbose, patch_batch=patch_batch)
+    return _infer_volume_host(
+        cfg, trainer, lowres_raw, stitch_mode=stitch_mode,
+        use_ema=use_ema, verbose=verbose, patch_batch=patch_batch)
+
+
+def _infer_volume_host(cfg, trainer, lowres_raw: np.ndarray,
+                       stitch_mode: str = "trim",
+                       use_ema: bool = True, verbose: bool = True,
+                       patch_batch: int = 8):
     """Sliding-window sampling + stitching over one raw LR volume.
 
     Returns the prediction in normalized (z-score) space, shaped like
@@ -174,6 +253,10 @@ def main():
     ap.add_argument("--transfer-dtype", default=None,
                     help="host->device start-image dtype, e.g. bfloat16 "
                          "(halves H2D bytes; decisive on slow tunnels)")
+    ap.add_argument("--device-stitch", action="store_true",
+                    help="keep the volume and stitching buffers device-"
+                         "resident: one H2D upload + one D2H download per "
+                         "volume instead of per-batch transfers")
     args = ap.parse_args()
 
     from diffusioniqt_tpu.config import load_config
@@ -210,7 +293,8 @@ def main():
 
     start = time.time()
     pred = infer_volume(cfg, trainer, lowres, stitch_mode=args.stitch,
-                        patch_batch=args.patch_batch)
+                        patch_batch=args.patch_batch,
+                        device_stitch=args.device_stitch)
     print("TIME: {}".format(time.time() - start))
 
     highres_n = (highres - mean) / std

@@ -64,6 +64,10 @@ def main():
     ap.add_argument("--transfer-dtype", default=None,
                     help="host->device start-image dtype, e.g. bfloat16 "
                          "(halves H2D bytes; decisive on slow tunnels)")
+    ap.add_argument("--device-stitch", action="store_true",
+                    help="keep the volume and stitching buffers device-"
+                         "resident: one H2D upload + one D2H download per "
+                         "volume instead of per-batch transfers")
     args = ap.parse_args()
 
     from diffusioniqt_tpu.config import load_config
@@ -127,7 +131,8 @@ def main():
     for name, lowres, highres in subjects:
         start = time.time()
         pred = infer_volume(cfg, trainer, lowres, stitch_mode=args.stitch,
-                            verbose=False, patch_batch=args.patch_batch)
+                            verbose=False, patch_batch=args.patch_batch,
+                            device_stitch=args.device_stitch)
         elapsed = time.time() - start
         times.append(elapsed)
 
