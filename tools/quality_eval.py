@@ -46,6 +46,10 @@ def main():
                          "deterministic Heun; the reference default 80 "
                          "re-injects noise every step, which trades "
                          "fidelity for diversity)")
+    ap.add_argument("--sigma-data", type=float, default=None,
+                    help="EDM sigma_data override; defaults to the value "
+                         "recorded in the checkpoint's stats.json (must "
+                         "match training)")
     ap.add_argument("--patch-batch", type=int, default=8)
     ap.add_argument("--suffix", default="")
     ap.add_argument("--cpu", action="store_true",
@@ -68,6 +72,7 @@ def main():
     from test import infer_volume
     from test_all import evaluate
 
+    stats = {}
     if args.mean is not None and args.std is not None:
         mean, std = args.mean, args.std
     else:
@@ -96,6 +101,14 @@ def main():
         cfg.train.edm_num_sample_steps = args.edm_steps
         if args.edm_churn is not None:
             cfg.train.edm_s_churn = args.edm_churn
+        # preconditioning must match training: prefer the explicit flag,
+        # then the value quality_run recorded beside the checkpoint
+        if args.sigma_data is not None:
+            cfg.train.edm_sigma_data = args.sigma_data
+        elif "edm_sigma_data" in stats:
+            cfg.train.edm_sigma_data = stats["edm_sigma_data"]
+            print(f"edm_sigma_data from stats.json: "
+                  f"{cfg.train.edm_sigma_data}")
     trainer = build_trainer(cfg)
     trainer.prepare()
     trainer.load(args.ckpt)
@@ -132,6 +145,8 @@ def main():
         "edm_s_churn": (
             (args.edm_churn if args.edm_churn is not None
              else cfg.train.edm_s_churn) if args.elucidated else None),
+        "edm_sigma_data": (cfg.train.edm_sigma_data
+                           if args.elucidated else None),
         "volumes": results,
         "pred_beats_lr_msssim": all(
             r["pred_msssim"] > r["lr_msssim"] for r in results),

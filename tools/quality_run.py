@@ -124,6 +124,12 @@ def main():
     ap.add_argument("--elucidated", action="store_true",
                     help="EDM (north-star workload): train the elucidated "
                          "loss, sample 64-step Heun+churn at eval")
+    ap.add_argument("--sigma-data", type=float, default=None,
+                    help="EDM sigma_data preconditioning scale. The "
+                         "reference default 0.5 assumes [-1,1]-normalized "
+                         "images; z-scored IQT data has unit variance, for "
+                         "which the EDM paper prescribes sigma_data = "
+                         "std(data) = 1.0 (Karras et al. 2022, Table 1)")
     ap.add_argument("--quick", action="store_true",
                     help="tiny CPU smoke (dim 16, 96^3 phantoms, 20 steps)")
     ap.add_argument("--cpu", action="store_true",
@@ -152,6 +158,8 @@ def main():
     )
 
     cfg = flagship_cfg(quick=args.quick, elucidated=args.elucidated)
+    if args.sigma_data is not None:
+        cfg.train.edm_sigma_data = args.sigma_data
 
     # population z-score stats from the training LR volumes (reference
     # precomputes Data.mean/std the same way, config/config.yaml:12-15)
@@ -167,8 +175,13 @@ def main():
     # trained with (recomputing with different --volumes/--size would
     # silently skew every metric)
     with open(os.path.join(args.out, "stats.json"), "w") as fh:
-        json.dump({"mean": mean, "std": std, "size": args.size,
-                   "volumes": args.volumes}, fh)
+        stats_row = {"mean": mean, "std": std, "size": args.size,
+                     "volumes": args.volumes}
+        if args.elucidated:
+            # eval must precondition with the SAME sigma_data the model
+            # was trained under (quality_eval reads this back)
+            stats_row["edm_sigma_data"] = cfg.train.edm_sigma_data
+        json.dump(stats_row, fh)
 
     ds = SyntheticIQTDataset(cfg, seed=0, samples_per_volume=8, pairs=pairs)
 
@@ -219,6 +232,8 @@ def main():
     # ---- final eval: full sampling on held-out phantoms -------------------
     # (20-step ancestral Gaussian, or 64-step EDM Heun with --elucidated)
     cfg_eval = flagship_cfg(quick=args.quick, elucidated=args.elucidated)
+    if args.sigma_data is not None:
+        cfg_eval.train.edm_sigma_data = args.sigma_data
     cfg_eval.data.mean, cfg_eval.data.std = mean, std
     cfg_eval.train.timesteps = 20
     if args.quick and args.elucidated:
@@ -268,7 +283,9 @@ def main():
         "pred_beats_lr_psnr": all(
             r["pred_psnr"] > r["lr_psnr"] for r in results),
         "config": {"dim": cfg.train.dim, "size": args.size,
-                   "mean": mean, "std": std},
+                   "mean": mean, "std": std,
+                   "edm_sigma_data": (cfg.train.edm_sigma_data
+                                      if args.elucidated else None)},
     }
     with open(os.path.join(args.out, "quality.json"), "w") as fh:
         json.dump(summary, fh, indent=2)
