@@ -51,6 +51,10 @@ def main():
                          "recorded in the checkpoint's stats.json (must "
                          "match training)")
     ap.add_argument("--patch-batch", type=int, default=8)
+    ap.add_argument("--device-stitch", action="store_true",
+                    help="device-resident window gather + stitching "
+                         "(ops/stitch_device.py): one H2D and one D2H per "
+                         "volume instead of per-batch host transfers")
     ap.add_argument("--suffix", default="")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon TPU plugin "
@@ -122,7 +126,8 @@ def main():
         t1 = time.time()
         pred = infer_volume(cfg, trainer, lr, verbose=False,
                             stitch_mode=args.stitch,
-                            patch_batch=args.patch_batch)
+                            patch_batch=args.patch_batch,
+                            device_stitch=args.device_stitch)
         elapsed = time.time() - t1
         min_val = lr_n.min()
         pred[lr_n == min_val] = min_val

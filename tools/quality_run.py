@@ -96,7 +96,10 @@ def build_trainer(cfg, accum=4, remat=False, remat_policy=None):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--steps", type=int, default=None,
+                    help="optimizer steps (default 3000; with --quick an "
+                         "explicit value overrides the 6-step smoke cap, "
+                         "making --quick usable for tiny ablation studies)")
     ap.add_argument("--out", default="results/quality")
     ap.add_argument("--volumes", type=int, default=4)
     ap.add_argument("--size", type=int, default=192)
@@ -145,11 +148,14 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     if args.quick:
-        args.steps = min(args.steps, 6)
+        if args.steps is None:
+            args.steps = 6
         args.size = 96
         args.volumes = 1
         args.batch_patches = 1
         args.eval_volumes = 1
+    elif args.steps is None:
+        args.steps = 3000
 
     os.makedirs(args.out, exist_ok=True)
 
