@@ -1047,7 +1047,17 @@ class ImagenTrainer:
             self.prepare()
         try:
             with ocp.PyTreeCheckpointer() as ckptr:
-                restored = ckptr.restore(path, item=self._state_tree())
+                item = self._state_tree()
+                # explicit restore_args from the PREPARED state: every leaf
+                # restores onto the current backend's sharding. Without
+                # this, orbax falls back to the sharding recorded in the
+                # checkpoint file, which is None/invalid when restoring on
+                # a different topology (e.g. CPU inference from a
+                # TPU-trained checkpoint) and raises.
+                restore_args = ocp.checkpoint_utils.construct_restore_args(
+                    item)
+                restored = ckptr.restore(path, item=item,
+                                         restore_args=restore_args)
         except Exception:
             if strict:
                 raise
