@@ -113,6 +113,9 @@ def main():
           f"(data std ~= {float(jnp.std(clean)):.4f})")
     print(f"{'sigma':>8} {'rmse_in':>9} {'rmse_D':>9} {'rmse_D_clamped':>14}")
 
+    # sigma enters as a traced device scalar so ONE compile serves every
+    # ladder rung (a python float would bake into the jaxpr as a constant
+    # and recompile per sigma — ~2 min each on this tunnel)
     fwd = jax.jit(lambda p, x, s, lrz: imagen.preconditioned_network_forward(
         unet, p, x, s, hp, clamp=False, lowres_cond_img=lrz))
     fwd_c = jax.jit(lambda p, x, s, lrz: imagen.preconditioned_network_forward(
@@ -121,15 +124,16 @@ def main():
         lowres_cond_img=lrz))
 
     rows = []
-    for sig in [float(s) for s in args.sigmas.split(",")]:
+    for sig_f in [float(s) for s in args.sigmas.split(",")]:
+        sig = jnp.float32(sig_f)
         k_n, k = jax.random.split(k_n)
         x = clean + sig * jax.random.normal(k, clean.shape)
         d = fwd(params, x, sig, lowres_noisy)
         dc = fwd_c(params, x, sig, lowres_noisy)
-        row = {"sigma": sig, "rmse_in": rmse(x, clean),
+        row = {"sigma": sig_f, "rmse_in": rmse(x, clean),
                "rmse_D": rmse(d, clean), "rmse_D_clamped": rmse(dc, clean)}
         rows.append(row)
-        print(f"{sig:8.3f} {row['rmse_in']:9.4f} {row['rmse_D']:9.4f} "
+        print(f"{sig_f:8.3f} {row['rmse_in']:9.4f} {row['rmse_D']:9.4f} "
               f"{row['rmse_D_clamped']:14.4f}", flush=True)
 
     print(json.dumps({"baseline_rmse_lr": base_lr, "rows": rows}))
