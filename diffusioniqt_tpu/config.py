@@ -130,6 +130,14 @@ class TrainConfig:
     edm_sigma_data: float = 0.5
     edm_rho: float = 7.0
     edm_s_churn: float = 80.0
+    # noise the lowres conditioning image (training aug + sampling). The
+    # upstream text-to-image ElucidatedImagen does (reference
+    # elucidated_imagen.py:779-819 train aug, :620-633 sample); the 3D IQT
+    # path does NOT — its Gaussian wrapper passes the conditioning clean in
+    # both phases (reference imagen_pytorch3D.py:2303-2304) because in IQT
+    # the lowres input is the entire signal, not an auxiliary hint. Default
+    # False = IQT semantics; True restores the upstream aug for text/video.
+    edm_lowres_noise_aug: bool = False
     # cap on Heun steps per device launch during EDM sampling: the TPU
     # runtime behind the axon tunnel kills single launches longer than a
     # few seconds (worker crash), so long samplers run as carry-threaded
@@ -220,7 +228,7 @@ _BOOL_FIELDS = {
     "pretrain", "batch_sample", "lpips", "medlpips", "boundary", "att_mid",
     "att_localvit", "skip_scale", "efficient", "dynamic_threshold", "use_se",
     "deep_feature", "use_pallas", "elucidated", "remat",
-    "non_uniform_sampling",
+    "non_uniform_sampling", "edm_lowres_noise_aug",
 }
 
 

@@ -46,6 +46,7 @@ class ElucidatedImagen:
         cond_drop_prob: float = 0.1,
         lowres_sample_noise_level: float = 0.2,
         per_sample_random_aug_noise_level: bool = False,
+        lowres_noise_aug: bool = True,
         auto_normalize_img: bool = True,
         dynamic_thresholding: Union[bool, Sequence[bool]] = True,
         dynamic_thresholding_percentile: float = 0.95,
@@ -96,6 +97,14 @@ class ElucidatedImagen:
         )
         self.lowres_sample_noise_level = lowres_sample_noise_level
         self.per_sample_random_aug_noise_level = per_sample_random_aug_noise_level
+        # Whether the lowres conditioning image is noised at all — the
+        # upstream text-to-image behavior (reference elucidated_imagen.py
+        # :779-819 train aug, :620-633 sample-time q_sample). The 3D IQT
+        # path passes the conditioning CLEAN in both phases, mirroring the
+        # Gaussian wrapper (reference imagen_pytorch3D.py:2303-2304): in
+        # IQT the lowres image is the entire signal, and corrupting it
+        # measurably degrades trained quality (QUALITY.md round 5).
+        self.lowres_noise_aug = lowres_noise_aug
 
         self.normalize_img = (
             normalize_neg_one_to_one if auto_normalize_img else identity
@@ -215,6 +224,17 @@ class ElucidatedImagen:
         else:
             net_out = unet.apply(unet_params, net_in, c_noise, c_noise,
                                  **apply_kwargs)
+        if cond_scale != 1.0:
+            # classifier-free guidance: second, null-conditioned eval and
+            # mix — the reference routes every EDM model eval through
+            # unet.forward_with_cond_scale (elucidated_imagen.py:489,508;
+            # CFG mix imagen_pytorch.py forward_with_cond_scale). Applied
+            # to the RAW network output, before the c_skip/c_out
+            # preconditioning recombination, exactly as the reference
+            # guides the inner forward.
+            null_out = unet.apply(unet_params, net_in, c_noise, c_noise,
+                                  cond_drop_prob=1.0, **apply_kwargs)
+            net_out = null_out + (net_out - null_out) * cond_scale
 
         out = hp.c_skip(padded_sigma) * noised_images + hp.c_out(padded_sigma) * net_out
         if not clamp:
@@ -493,15 +513,18 @@ class ElucidatedImagen:
             lowres_cond_img = None
             lowres_noise_times = None
             if getattr(unet, "lowres_cond", False):
+                level = (lowres_sample_noise_level if self.lowres_noise_aug
+                         else 0.0)
                 lowres_noise_times = self.lowres_noise_schedule.get_times(
-                    batch_size, lowres_sample_noise_level
+                    batch_size, level
                 )
                 lowres_cond_img = _resize(img, size)
                 lowres_cond_img = self.normalize_img(lowres_cond_img)
-                lowres_cond_img, *_ = self.lowres_noise_schedule.q_sample(
-                    lowres_cond_img, lowres_noise_times,
-                    jax.random.normal(k_lowres, lowres_cond_img.shape),
-                )
+                if self.lowres_noise_aug:
+                    lowres_cond_img, *_ = self.lowres_noise_schedule.q_sample(
+                        lowres_cond_img, lowres_noise_times,
+                        jax.random.normal(k_lowres, lowres_cond_img.shape),
+                    )
 
             unet_init = init_images[index]
             if exists(unet_init):
@@ -586,7 +609,10 @@ class ElucidatedImagen:
             )
 
         if lowres_cond_img is not None:
-            if self.per_sample_random_aug_noise_level:
+            if not self.lowres_noise_aug:
+                # IQT: the conditioning stays clean; t=0 noise condition
+                lowres_aug_times = jnp.zeros((batch_size,), jnp.float32)
+            elif self.per_sample_random_aug_noise_level:
                 lowres_aug_times = self.lowres_noise_schedule.sample_random_times(
                     k_aug_t, batch_size
                 )
@@ -600,10 +626,13 @@ class ElucidatedImagen:
         lowres_cond_img_noisy = None
         if lowres_cond_img is not None:
             lowres_cond_img = self.normalize_img(lowres_cond_img)
-            lowres_cond_img_noisy, *_ = self.lowres_noise_schedule.q_sample(
-                lowres_cond_img, lowres_aug_times,
-                jax.random.normal(k_aug_n, lowres_cond_img.shape),
-            )
+            if self.lowres_noise_aug:
+                lowres_cond_img_noisy, *_ = self.lowres_noise_schedule.q_sample(
+                    lowres_cond_img, lowres_aug_times,
+                    jax.random.normal(k_aug_n, lowres_cond_img.shape),
+                )
+            else:
+                lowres_cond_img_noisy = lowres_cond_img
 
         sigmas = hp.noise_distribution(k_sigma, batch_size)
         padded_sigmas = right_pad_dims_to(images, sigmas)
@@ -651,5 +680,6 @@ def elucidated_imagen_from_config(cfg, unets) -> ElucidatedImagen:
         sigma_data=cfg.train.edm_sigma_data,
         rho=cfg.train.edm_rho,
         S_churn=cfg.train.edm_s_churn,
+        lowres_noise_aug=cfg.train.edm_lowres_noise_aug,
         max_steps_per_launch=cfg.train.edm_steps_per_launch,
     )

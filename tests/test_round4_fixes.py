@@ -10,12 +10,16 @@ reference analog is torch.load(map_location=...) (reference
 ``trainer.py:813-820`` loads onto the accelerator in use).
 """
 
+import os
+
 import jax
 import numpy as np
 import pytest
 
 from diffusioniqt_tpu.train.trainer import ImagenTrainer
 from tests.test_trainer import tiny_cfg, tiny_imagen
+
+_REPO = os.path.join(os.path.dirname(__file__), "..")
 
 
 def _batch():
@@ -34,7 +38,7 @@ def test_eval_edm_config_loads():
     EDM sampler selected at the reference's 64-step Heun defaults."""
     from diffusioniqt_tpu.config import load_config
 
-    cfg = load_config("config/eval_edm.yaml")
+    cfg = load_config(os.path.join(_REPO, "config", "eval_edm.yaml"))
     assert cfg.train.elucidated is True
     assert cfg.train.edm_num_sample_steps == 64
     assert cfg.train.batch_sample and cfg.train.boundary
@@ -80,10 +84,11 @@ def test_cross_topology_restore(tmp_path):
     remeshed.load(path)
     for a, b in zip(want, _leaves(remeshed.params[1])):
         np.testing.assert_allclose(a, b)
-    # leaves must follow the NEW topology's prepared shardings
-    prepared = jax.tree_util.tree_leaves(remeshed.params)
-    for leaf in prepared:
+    # leaves must follow the NEW topology: every restored param lives on
+    # mesh2 (not the save-time mesh, not an unsharded single device)
+    for leaf in jax.tree_util.tree_leaves(remeshed.params):
         assert isinstance(leaf, jax.Array)
-        assert leaf.sharding.is_fully_addressable
+        assert getattr(leaf.sharding, "mesh", None) is not None
+        assert leaf.sharding.mesh.shape == mesh2.shape
     assert np.isfinite(float(remeshed.train_step(unet_number=2,
                                                  batch=(hr, lr_img))))

@@ -42,9 +42,13 @@ def main():
     ap.add_argument("--sigmas", default="0.01,0.05,0.2,1.0,5.0,20.0")
     ap.add_argument("--sigma-data", type=float, default=None)
     ap.add_argument("--no-ema", action="store_true")
-    ap.add_argument("--lowres-noise-level", type=float, default=0.2,
-                    help="conditioning aug level used at sampling time "
-                         "(ElucidatedImagen.lowres_sample_noise_level)")
+    ap.add_argument("--lowres-noise-level", type=float, default=None,
+                    help="conditioning noise level at probe time. Default: "
+                         "follow the model config (clean conditioning when "
+                         "edm_lowres_noise_aug is off — the IQT default)")
+    ap.add_argument("--out", default=None,
+                    help="JSON artifact path (default: probe.json beside "
+                         "the checkpoint)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -97,13 +101,21 @@ def main():
     clean = volume_to_subvolumes(jnp.asarray(hr_p), f)   # (27,32,32,32,1)
     lowres = volume_to_subvolumes(jnp.asarray(lr_p), f)
 
-    # conditioning noised exactly like ElucidatedImagen.sample
+    # conditioning treated exactly like ElucidatedImagen.sample: noised at
+    # the given level, or clean when lowres_noise_aug is off (IQT default)
     key = jax.random.PRNGKey(0)
     k_low, k_n = jax.random.split(key)
-    t_low = imagen.lowres_noise_schedule.get_times(
-        clean.shape[0], args.lowres_noise_level)
-    lowres_noisy, *_ = imagen.lowres_noise_schedule.q_sample(
-        lowres, t_low, jax.random.normal(k_low, lowres.shape))
+    level = args.lowres_noise_level
+    if level is None:
+        level = (imagen.lowres_sample_noise_level
+                 if imagen.lowres_noise_aug else 0.0)
+    if level > 0.0:
+        t_low = imagen.lowres_noise_schedule.get_times(clean.shape[0], level)
+        lowres_noisy, *_ = imagen.lowres_noise_schedule.q_sample(
+            lowres, t_low, jax.random.normal(k_low, lowres.shape))
+    else:
+        lowres_noisy = lowres
+    print(f"conditioning noise level = {level}")
 
     def rmse(a, b):
         return float(jnp.sqrt(jnp.mean((a - b) ** 2)))
@@ -113,9 +125,9 @@ def main():
           f"(data std ~= {float(jnp.std(clean)):.4f})")
     print(f"{'sigma':>8} {'rmse_in':>9} {'rmse_D':>9} {'rmse_D_clamped':>14}")
 
-    # sigma enters as a traced device scalar so ONE compile serves every
-    # ladder rung (a python float would bake into the jaxpr as a constant
-    # and recompile per sigma — ~2 min each on this tunnel)
+    # pass sigma as a strongly-typed f32 device scalar (jit treats a Python
+    # float argument the same way — one compile — but the explicit dtype
+    # keeps the traced signature stable across rungs)
     fwd = jax.jit(lambda p, x, s, lrz: imagen.preconditioned_network_forward(
         unet, p, x, s, hp, clamp=False, lowres_cond_img=lrz))
     fwd_c = jax.jit(lambda p, x, s, lrz: imagen.preconditioned_network_forward(
@@ -136,7 +148,19 @@ def main():
         print(f"{sig_f:8.3f} {row['rmse_in']:9.4f} {row['rmse_D']:9.4f} "
               f"{row['rmse_D_clamped']:14.4f}", flush=True)
 
-    print(json.dumps({"baseline_rmse_lr": base_lr, "rows": rows}))
+    summary = {
+        "ckpt": args.ckpt,
+        "sigma_data": cfg.train.edm_sigma_data,
+        "lowres_noise_level": level,
+        "data_std": float(jnp.std(clean)),
+        "baseline_rmse_lr": base_lr,
+        "rows": rows,
+    }
+    out_path = args.out or os.path.join(
+        os.path.dirname(os.path.abspath(args.ckpt)), "probe.json")
+    with open(out_path, "w") as fh:
+        json.dump(summary, fh, indent=2)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
