@@ -99,6 +99,31 @@ def main():
         [float(sample_out.sum()), float(np.abs(sample_out).sum())]),
         flush=True)
 
+    # EDM segmented sampling on the same multi-process mesh (round-5:
+    # the north-star serving combination — eager launch-capped Heun
+    # segments over mesh-assembled global arrays must agree across
+    # processes exactly like the Gaussian sampler above)
+    from diffusioniqt_tpu.diffusion.elucidated import ElucidatedImagen
+    from diffusioniqt_tpu.models.unet3d import NullUnet
+    from tests.test_diffusion import tiny_unet
+
+    edm = ElucidatedImagen(
+        unets=[NullUnet(), tiny_unet()], image_sizes=(8, 8), channels=1,
+        cond_drop_prob=0.0, auto_normalize_img=False, num_sample_steps=6,
+        dynamic_thresholding=False, norm="z-score",
+        min_bound=cfg.data.min_bound, lowres_noise_aug=False,
+        max_steps_per_launch=2,  # 5 Heun steps -> segments 2+2+1
+    )
+    etrainer = ImagenTrainer(configs=cfg, imagen=edm, mesh=mesh,
+                             gradient_accumulation_steps=1, lr=2e-3)
+    etrainer.prepare()
+    eout = np.asarray(etrainer.sample(
+        batch_size=4, start_image_or_video=lr_s, start_at_unet_number=2,
+        use_non_ema=True, key=jax.random.PRNGKey(9)))
+    assert eout.shape == (4, 8, 8, 8, 1), eout.shape
+    print("EDMSAMPLE" + json.dumps(
+        [float(eout.sum()), float(np.abs(eout).sum())]), flush=True)
+
     # collective checkpoint save (every process calls; main writes) and
     # restore into a fresh trainer: training must continue with the same
     # loss on both processes

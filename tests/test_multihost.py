@@ -44,7 +44,7 @@ def _run_worker_pair(ckpt_dir=None):
     ]
     outs, codes = [], []
     for p in procs:
-        out, _ = p.communicate(timeout=900)
+        out, _ = p.communicate(timeout=1800)
         outs.append(out)
         codes.append(p.returncode)
     return outs, codes
@@ -89,6 +89,17 @@ def test_two_process_training_matches_single_process(tmp_path):
         samples.append(json.loads(line[-1][len("SAMPLE"):]))
     np.testing.assert_allclose(samples[0], samples[1], rtol=1e-6)
     assert np.isfinite(samples).all()
+
+    # EDM segmented sampling on the multi-process mesh agreed across
+    # processes (the north-star serving combination: eager launch-capped
+    # Heun segments over mesh-assembled global arrays)
+    esamples = []
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("EDMSAMPLE")]
+        assert line, f"no EDMSAMPLE line in worker output:\n{out}"
+        esamples.append(json.loads(line[-1][len("EDMSAMPLE"):]))
+    np.testing.assert_allclose(esamples[0], esamples[1], rtol=1e-6)
+    assert np.isfinite(esamples).all()
 
     # the collective save -> fresh-trainer load -> train_step round-trip
     # produced the same loss on both processes (checkpointing on a
